@@ -1,0 +1,169 @@
+"""Thin Iceberg-style table catalog over Parquet.
+
+No Iceberg runtime jar ships in this image, so this module provides the
+subset of semantics the engine needs — snapshot isolation, **atomic
+multi-table append** (one manifest swap commits data + lineage together,
+the exactly-once requirement of SURVEY §7 'resume idempotency'), and
+explicit file listings that Spark/pyarrow read with full predicate
+pushdown.  All engine code talks to this API, so a real Iceberg catalog is
+a config swap (same verbs: append / read / snapshot / history).
+
+It replaces the reference's six storage backends + AttributeStore
+(server/src/main/scala/demo/Main.scala:41-77, MetadataReader.scala:11-31)
+with one implementation.
+
+On-disk layout:
+    root/_catalog.json            current manifest (atomic os.replace swap)
+    root/_history/<n>.json        previous manifests (snapshots)
+    root/<table>/<uuid>.parquet   immutable data files
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+
+def coerce_us_timestamps(tbl):
+    """Arrow ns timestamps -> us so Spark's parquet reader accepts them."""
+    import pyarrow as pa
+
+    fields = []
+    changed = False
+    for f in tbl.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(pa.field(f.name, pa.timestamp("us", f.type.tz)))
+            changed = True
+        else:
+            fields.append(f)
+    return tbl.cast(pa.schema(fields)) if changed else tbl
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        os.makedirs(os.path.join(root, "_history"), exist_ok=True)
+        self._manifest_path = os.path.join(root, "_catalog.json")
+        if not os.path.exists(self._manifest_path):
+            self._write_manifest({"snapshot": 0, "tables": {}, "committed": {}})
+
+    # ------------------------------------------------------------ manifest
+
+    def _read_manifest(self) -> dict:
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    def snapshot_id(self) -> int:
+        return self._read_manifest()["snapshot"]
+
+    # -------------------------------------------------------------- commit
+
+    def commit(self, adds: dict[str, list[str]], markers: dict | None = None) -> int:
+        """Atomically append files to one or more tables, optionally
+        recording completion ``markers`` (stage -> metadata) in the same
+        snapshot.  Returns the new snapshot id.
+
+        adds: {table_name: [absolute parquet paths already under root/<table>/]}
+        """
+        m = self._read_manifest()
+        # archive previous manifest as a snapshot
+        hist = os.path.join(self.root, "_history", f"{m['snapshot']}.json")
+        with open(hist, "w") as f:
+            json.dump(m, f)
+        for table, files in adds.items():
+            entry = m["tables"].setdefault(table, {"files": []})
+            for p in files:
+                rel = os.path.relpath(p, self.root)
+                assert not rel.startswith(".."), f"file outside catalog root: {p}"
+                entry["files"].append(rel)
+        if markers:
+            now = time.time()
+            for k, v in markers.items():
+                m["committed"][k] = {"at": now, **(v or {})}
+        m["snapshot"] += 1
+        self._write_manifest(m)
+        return m["snapshot"]
+
+    def is_committed(self, marker: str) -> bool:
+        return marker in self._read_manifest()["committed"]
+
+    def marker(self, marker: str):
+        return self._read_manifest()["committed"].get(marker)
+
+    # ---------------------------------------------------------------- I/O
+
+    def table_dir(self, table: str) -> str:
+        d = os.path.join(self.root, table)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def files(self, table: str) -> list[str]:
+        m = self._read_manifest()
+        entry = m["tables"].get(table)
+        if not entry:
+            return []
+        return [os.path.join(self.root, rel) for rel in entry["files"]]
+
+    def stage_spark_write(self, df, table: str) -> list[str]:
+        """Write a Spark DataFrame as staged parquet files under the table
+        dir (NOT yet visible). Call :meth:`commit` to publish them."""
+        stage = os.path.join(self.root, f"_stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        out = []
+        tdir = self.table_dir(table)
+        for name in sorted(os.listdir(stage)):
+            if name.endswith(".parquet"):
+                dst = os.path.join(tdir, f"{uuid.uuid4().hex}.parquet")
+                shutil.move(os.path.join(stage, name), dst)
+                out.append(dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    def append_spark(self, df, table: str, markers: dict | None = None) -> int:
+        """writeTo(table).append() equivalent: stage + atomic commit."""
+        return self.commit({table: self.stage_spark_write(df, table)}, markers)
+
+    def append_pandas(self, pdf, table: str, markers: dict | None = None) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        tbl = coerce_us_timestamps(tbl)
+        dst = os.path.join(self.table_dir(table), f"{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, dst)
+        return self.commit({table: [dst]}, markers)
+
+    def read_spark(self, spark, table: str):
+        files = self.files(table)
+        if not files:
+            raise FileNotFoundError(f"table {table!r} is empty/missing")
+        return spark.read.parquet(*files)
+
+    def read_arrow(self, table: str, filters=None, columns=None):
+        """Driver-side pruned read (the 'collection reader / no Spark job'
+        fast path, server/.../TileReader.scala:12-21, Router.scala:234-248).
+        Parquet footer min/max stats prune row groups via ``filters``."""
+        import pyarrow.dataset as ds
+
+        files = self.files(table)
+        if not files:
+            raise FileNotFoundError(f"table {table!r} is empty/missing")
+        dataset = ds.dataset(files, format="parquet")
+        return dataset.to_table(filter=filters, columns=columns)
+
+    def read_pandas(self, table: str, filters=None, columns=None):
+        return self.read_arrow(table, filters, columns).to_pandas()
+
+    def history(self) -> list[int]:
+        d = os.path.join(self.root, "_history")
+        return sorted(int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json"))

@@ -1,0 +1,422 @@
+"""Vectorized raster kernels — the engine's scalar-function library.
+
+Re-expresses the reference's per-cell/per-tile operators (SURVEY §2.8) as
+numpy over decoded ``(bands, h, w)`` arrays.  The Spark layer calls these
+inside Arrow/pandas UDF batches only — never per row.
+
+Conventions (matching the reference):
+- storage cell type: uint16 with NoData sentinel 0
+  (UShortCellType, ingest/.../LandsatInput.scala:47)
+- band order: red, green, blue, nir, QA (conf/input.json:7 bandsWanted)
+- math cell type: float64 with NaN = NoData (convert(DoubleCellType),
+  server/.../NDVI.scala:7)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from . import png as _png
+
+NODATA_U16 = 0
+
+# --------------------------------------------------------------- codecs ---
+# Payload formats for the `bytes` column of the images table (input_hint) and
+# the `tile` column of the tiles table.  Self-describing 16-byte header:
+#   magic 'GTRS' | u8 version | u8 fmtcode | u16 nbands | u32 h | u32 w
+# followed by the body. Replaces the reference's Avro tile codec
+# (server/.../TileReader.scala:12-14) with a numpy-native one.
+
+_MAGIC = b"GTRS"
+_FMT = {"npy-u16": 1, "npy-u16-z": 2, "jq75": 3, "png-u16": 4}
+_FMT_INV = {v: k for k, v in _FMT.items()}
+_HDR = struct.Struct(">4sBBHII")
+
+
+def encode_payload(arr: np.ndarray, fmt: str = "npy-u16-z") -> bytes:
+    """(bands, h, w) uint16 -> bytes in ``fmt``.
+
+    - npy-u16    raw little-endian C-order (lossless)
+    - npy-u16-z  zlib of the above (lossless; default at-rest format)
+    - jq75       deterministic lossy stand-in for JPEG q75 (no libjpeg in
+                 this image): uniform 16->8-bit quantization per band then
+                 zlib.  Quantization step 257 keeps PSNR ~58 dB >= the 40 dB
+                 gate (BASELINE.md correctness row).
+    - png-u16    per-band 16-bit grayscale PNGs (lossless, interchange)
+    """
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    assert arr.dtype == np.uint16 and arr.ndim == 3
+    nb, h, w = arr.shape
+    code = _FMT[fmt]
+    hdr = _HDR.pack(_MAGIC, 1, code, nb, h, w)
+    if fmt == "npy-u16":
+        body = arr.astype("<u2").tobytes()
+    elif fmt == "npy-u16-z":
+        body = zlib.compress(arr.astype("<u2").tobytes(), 1)
+    elif fmt == "jq75":
+        # NoData (0) must survive exactly: quantize data cells 1..65535 into
+        # 1..255 (so no data cell ever decodes back to the sentinel)
+        q = np.where(
+            arr == 0,
+            0,
+            1 + ((arr.astype("u8") - 1) * 254 + 32767) // 65534,
+        ).astype("u1")
+        body = zlib.compress(q.tobytes(), 6)
+    elif fmt == "png-u16":
+        parts = [_png.encode_gray16(arr[b]) for b in range(nb)]
+        body = struct.pack(f">{nb}I", *(len(p) for p in parts)) + b"".join(parts)
+    else:  # pragma: no cover
+        raise ValueError(fmt)
+    return hdr + body
+
+
+def decode_payload(data: bytes) -> np.ndarray:
+    """bytes -> (bands, h, w) uint16.  Inverse of :func:`encode_payload`.
+
+    Plays the role of the reference's raster fetch+decode
+    (ingest/.../LandsatInput.scala:23-27).
+    """
+    magic, _ver, code, nb, h, w = _HDR.unpack_from(data)
+    assert magic == _MAGIC, "bad payload magic"
+    fmt = _FMT_INV[code]
+    body = data[_HDR.size :]
+    if fmt == "npy-u16":
+        return np.frombuffer(body, dtype="<u2").reshape(nb, h, w).astype(np.uint16)
+    if fmt == "npy-u16-z":
+        return (
+            np.frombuffer(zlib.decompress(body), dtype="<u2")
+            .reshape(nb, h, w)
+            .astype(np.uint16)
+        )
+    if fmt == "jq75":
+        q = np.frombuffer(zlib.decompress(body), dtype="u1").reshape(nb, h, w)
+        return np.where(
+            q == 0, 0, 1 + ((q.astype("u8") - 1) * 65534 + 127) // 254
+        ).astype(np.uint16)
+    if fmt == "png-u16":
+        sizes = struct.unpack_from(f">{nb}I", body)
+        off = 4 * nb
+        bands = []
+        for s in sizes:
+            bands.append(_png.decode(body[off : off + s]))
+            off += s
+        return np.stack(bands).astype(np.uint16)
+    raise ValueError(fmt)  # pragma: no cover
+
+
+def payload_fmt(data: bytes) -> str:
+    return _FMT_INV[_HDR.unpack_from(data)[2]]
+
+
+# ----------------------------------------------------------- cell casts ---
+
+def to_double(arr_u16: np.ndarray) -> np.ndarray:
+    """uint16 (NoData=0) -> float64 (NoData=NaN).  F3: convert(DoubleCellType)."""
+    out = arr_u16.astype("f8")
+    out[arr_u16 == NODATA_U16] = np.nan
+    return out
+
+
+def from_double(arr_f8: np.ndarray) -> np.ndarray:
+    """float64 (NaN NoData) -> uint16 (0 NoData), rounding half up."""
+    out = np.where(np.isnan(arr_f8), 0.0, np.clip(np.rint(arr_f8), 0, 65535))
+    return out.astype(np.uint16)
+
+
+# ----------------------------------------------------------- band math ----
+
+def ndvi(arr: np.ndarray) -> np.ndarray:
+    """(nir - r) / (nir + r) over bands (0, 3) — NDVI.scala:5-10."""
+    d = to_double(arr)
+    r, nir = d[0], d[3]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return (nir - r) / (nir + r)
+
+
+def ndwi(arr: np.ndarray) -> np.ndarray:
+    """(g - nir) / (g + nir) over bands (1, 3) — NDWI.scala:5-10."""
+    d = to_double(arr)
+    g, nir = d[1], d[3]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return (g - nir) / (g + nir)
+
+
+# ------------------------------------------------------- render pipeline --
+# Faithful re-expression of Render.image (server/.../Render.scala:19-86).
+
+CLAMP_MIN, CLAMP_MAX = 4000, 15176  # "magic numbers", Render.scala:24
+BRIGHTNESS = 15                      # Render.scala:52-56
+GAMMA = 0.8                          # Render.scala:58-62
+CONTRAST = 30.0                      # Render.scala:64-68
+
+
+def _normalize_band(band_u16: np.ndarray) -> np.ndarray:
+    """clamp to [4000,15176] then linear rescale -> [0,255] (int), NoData -> -1.
+
+    Mirrors convert(IntCellType).map(clamp).normalize(min,max,0,255),
+    Render.scala:25-33. Returns int32 with -1 marking NoData.
+    """
+    data = band_u16 != NODATA_U16
+    v = band_u16.astype("f8")
+    v = np.clip(v, CLAMP_MIN, CLAMP_MAX)
+    out = (v - CLAMP_MIN) * (255.0 - 0.0) / (CLAMP_MAX - CLAMP_MIN) + 0.0
+    out = out.astype("i4")
+    out[~data] = -1
+    return out
+
+
+def _adjust(v: np.ndarray) -> np.ndarray:
+    """brightness -> gamma -> contrast, each clamped to [0,255]; NoData (-1)
+    passes through.  Render.scala:45-80 (adjust)."""
+    data = v >= 0
+    x = v.astype("f8")
+    # brightnessCorrect: if (v > 0) v + brightness
+    x = np.where(data & (x > 0), x + BRIGHTNESS, x)
+    x = np.where(data, np.clip(x, 0, 255), x)
+    # gammaCorrect: (255 * (v/255)^(1/gamma)).toInt
+    g = np.floor(255.0 * np.power(np.maximum(x, 0) / 255.0, 1.0 / GAMMA))
+    x = np.where(data, np.clip(g, 0, 255), x)
+    # contrastCorrect: (factor * (v - 128) + 128).toInt  (trunc toward zero)
+    factor = (259.0 * (CONTRAST + 255.0)) / (255.0 * (259.0 - CONTRAST))
+    c = np.trunc(factor * (x - 128.0) + 128.0)
+    x = np.where(data, np.clip(c, 0, 255), x)
+    out = x.astype("i4")
+    out[~data] = -1
+    return out
+
+
+def render_rgb(arr: np.ndarray) -> np.ndarray:
+    """MultibandTile -> (h, w, 4) uint8 RGBA. NoData -> fully transparent.
+
+    Render.image for the Landsat (UShortCellType) branch,
+    Render.scala:19-86."""
+    r = _adjust(_normalize_band(arr[0]))
+    g = _adjust(_normalize_band(arr[1]))
+    b = _adjust(_normalize_band(arr[2]))
+    alpha = np.where((r >= 0) & (g >= 0) & (b >= 0), 255, 0).astype(np.uint8)
+    rgba = np.stack(
+        [
+            np.clip(r, 0, 255).astype(np.uint8),
+            np.clip(g, 0, 255).astype(np.uint8),
+            np.clip(b, 0, 255).astype(np.uint8),
+            alpha,
+        ],
+        axis=-1,
+    )
+    return rgba
+
+
+def mask_by_qa(arr: np.ndarray, qa_band: int = 3) -> np.ndarray:
+    """Planet-branch mask: zero out pixels where the mask band == 0
+    (Render.scala:38-40)."""
+    m = arr[qa_band] == 0
+    out = arr.copy()
+    out[:, m] = 0
+    return out
+
+
+# ------------------------------------------------------------ color maps --
+
+def _parse_color_ramp(spec: str):
+    """'0.05:ffffe5aa;...' -> (breaks float64[n], rgba uint8[n,4]).
+
+    ColorMap.fromStringDouble semantics (Render.scala:7-17): value <= break
+    picks the break's RGBA; above the last break or NaN -> transparent.
+    """
+    breaks, colors = [], []
+    for part in spec.split(";"):
+        b, c = part.split(":")
+        breaks.append(float(b))
+        v = int(c, 16)
+        colors.append([(v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+    return np.asarray(breaks, dtype="f8"), np.asarray(colors, dtype=np.uint8)
+
+
+# Ramps verbatim from Render.scala:7-17
+NDVI_RAMP = _parse_color_ramp(
+    "0.05:ffffe5aa;0.1:f7fcb9ff;0.2:d9f0a3ff;0.3:addd8eff;0.4:78c679ff;"
+    "0.5:41ab5dff;0.6:238443ff;0.7:006837ff;1:004529ff"
+)
+NDWI_RAMP = _parse_color_ramp(
+    "0:aacdff44;0.1:70abffff;0.2:3086ffff;0.3:1269e2ff;0.4:094aa5ff;1:012c69ff"
+)
+NDVI_DIFF_RAMP = _parse_color_ramp(
+    "-0.6:FF4040FF;-0.5:FF5353FF;-0.4:FF6666FF;-0.3:FF7979FF;-0.2:FF8C8CFF;"
+    "-0.1:FF9F9FFF;0:709AB244;0.1:81D3BBFF;0.2:67CAAEFF;0.3:4EC2A0FF;"
+    "0.4:35B993FF;0.5:1CB085FF;0.6:03A878FF"
+)
+NDWI_DIFF_RAMP = _parse_color_ramp(
+    "0.2:aacdff44;0.3:1269e2ff;0.4:094aa5ff;1:012c69ff"
+)
+
+
+def classify(values: np.ndarray, ramp) -> np.ndarray:
+    """float64 field -> RGBA via <=-break classification (F10)."""
+    breaks, colors = ramp
+    idx = np.searchsorted(breaks, values, side="left")
+    out = np.zeros(values.shape + (4,), dtype=np.uint8)
+    ok = ~np.isnan(values) & (idx < len(breaks))
+    out[ok] = colors[idx[ok]]
+    return out
+
+
+# ---------------------------------------------------------- resampling ----
+
+def bilinear_sample(src: np.ndarray, fx: np.ndarray, fy: np.ndarray) -> np.ndarray:
+    """NaN-aware bilinear sample of ``src`` (h, w) float64 at fractional
+    pixel coords (fx = col-space, fy = row-space, pixel centers at integers).
+
+    Weights of NaN neighbors are dropped and remaining weights renormalized;
+    all-NaN or out-of-bounds -> NaN.  Shared by tileToLayout regrid (A3),
+    pyramid (A4) and overzoom serving (F16 / ReaderSet.scala:54-72).
+    """
+    h, w = src.shape
+    x0 = np.floor(fx).astype("i8")
+    y0 = np.floor(fy).astype("i8")
+    tx = fx - x0
+    ty = fy - y0
+    oob = (fx < -0.5) | (fx > w - 0.5) | (fy < -0.5) | (fy > h - 0.5)
+
+    def at(yy, xx):
+        yc = np.clip(yy, 0, h - 1)
+        xc = np.clip(xx, 0, w - 1)
+        return src[yc, xc]
+
+    v00, v01 = at(y0, x0), at(y0, x0 + 1)
+    v10, v11 = at(y0 + 1, x0), at(y0 + 1, x0 + 1)
+    w00 = (1 - tx) * (1 - ty)
+    w01 = tx * (1 - ty)
+    w10 = (1 - tx) * ty
+    w11 = tx * ty
+    vals = np.stack([v00, v01, v10, v11])
+    wts = np.stack([w00, w01, w10, w11])
+    wts = np.where(np.isnan(vals), 0.0, wts)
+    tot = wts.sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.nansum(vals * wts, axis=0) / tot
+    out = np.where(tot <= 0, np.nan, out)
+    out = np.where(oob, np.nan, out)
+    return out
+
+
+def regrid_to_extent(
+    src_u16: np.ndarray,
+    src_extent,
+    dst_extent,
+    dst_shape=(256, 256),
+) -> np.ndarray:
+    """Bilinear-resample a (bands,h,w) uint16 raster from src_extent onto a
+    dst_extent/dst_shape grid -> (bands, H, W) uint16.
+
+    The work inside tileToLayout(metadata, Bilinear) (LandsatIngest.scala:39)
+    and the overzoom resample (ReaderSet.scala:54-72)."""
+    sxmin, symin, sxmax, symax = src_extent
+    dxmin, dymin, dxmax, dymax = dst_extent
+    nb, sh, sw = src_u16.shape
+    H, W = dst_shape
+    cw = (sxmax - sxmin) / sw
+    ch = (symax - symin) / sh
+    dcw = (dxmax - dxmin) / W
+    dch = (dymax - dymin) / H
+    px = dxmin + (np.arange(W, dtype="f8") + 0.5) * dcw
+    py = dymax - (np.arange(H, dtype="f8") + 0.5) * dch
+    fx = (px - sxmin) / cw - 0.5
+    fy = (symax - py) / ch - 0.5
+    FX, FY = np.meshgrid(fx, fy)
+    out = np.empty((nb, H, W), dtype="f8")
+    for b in range(nb):
+        out[b] = bilinear_sample(to_double(src_u16[b]), FX, FY)
+    return from_double(out)
+
+
+def downsample_2x2(child_f8: np.ndarray) -> np.ndarray:
+    """(bands, 2n, 2n) float64 -> (bands, n, n): NaN-aware mean of each 2x2
+    block — the z -> z-1 pyramid resample (Pyramid.upLevels Bilinear at
+    exactly half resolution, LandsatIngest.scala:42)."""
+    nb, h, w = child_f8.shape
+    v = child_f8.reshape(nb, h // 2, 2, w // 2, 2)
+    with np.errstate(invalid="ignore"):
+        s = np.nansum(np.nansum(v, axis=4), axis=2)
+        c = np.sum(np.sum(~np.isnan(v), axis=4), axis=2)
+        out = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+    return out
+
+
+def assemble_parent(children: dict, tile_size: int = 256) -> np.ndarray:
+    """{quadrant: (bands,ts,ts) uint16} -> parent (bands,ts,ts) uint16.
+
+    Quadrant = 2*dy + dx (0 = NW).  Missing children stay NoData — matching
+    Pyramid.upLevels on sparse layers."""
+    nb = next(iter(children.values())).shape[0]
+    half = tile_size // 2
+    parent = np.full((nb, tile_size, tile_size), np.nan, dtype="f8")
+    for quad, child in children.items():
+        dy, dx = divmod(int(quad), 2)
+        ds = downsample_2x2(to_double(child))
+        parent[:, dy * half : (dy + 1) * half, dx * half : (dx + 1) * half] = ds
+    return from_double(parent)
+
+
+# -------------------------------------------------------------- merging ---
+
+def merge_fragments(fragments, image_ids) -> np.ndarray:
+    """Merge co-keyed tile fragments: first-data-wins in ascending image_id
+    order (order-insensitized version of GeoTrellis tile merge,
+    LandsatIngest.scala:39-40; SURVEY §7 'merge determinism').
+
+    fragments: list of (bands, h, w) uint16;  image_ids: parallel list.
+    """
+    order = np.argsort(np.asarray(image_ids, dtype=object))
+    out = fragments[order[0]].copy()
+    for i in order[1:]:
+        f = fragments[i]
+        fill = out == NODATA_U16
+        out[fill] = f[fill]
+    return out
+
+
+def merge_fragments_ranked(fragments, image_ids):
+    """Commutative/associative merge for the salted two-phase path: returns
+    (merged uint16, winner bytes 'S64' per pixel).  Combining partials with
+    :func:`combine_ranked` yields exactly :func:`merge_fragments`'s output
+    regardless of grouping — the skew-salting correctness requirement
+    (north_rule)."""
+    nb, h, w = fragments[0].shape
+    merged = np.zeros((nb, h, w), dtype=np.uint16)
+    # winner per band per pixel: merge_fragments fills each band cell
+    # independently (a later scene can fill band 1 where an earlier one
+    # already supplied band 0), so provenance is per (band, pixel).
+    winner = np.full((nb, h, w), b"\xff" * 8, dtype="S64")
+    for f, iid in zip(fragments, image_ids):
+        key = np.bytes_(str(iid).encode())
+        has = f != NODATA_U16
+        better = has & (key < winner)
+        winner = np.where(better, key, winner)
+        merged = np.where(better, f, merged)
+    return merged, winner
+
+
+def combine_ranked(parts):
+    """Combine [(merged, winner), ...] partials -> (merged, winner)."""
+    merged, winner = parts[0]
+    merged = merged.copy()
+    winner = winner.copy()
+    for m, wnr in parts[1:]:
+        has = wnr != np.bytes_(b"\xff" * 8)
+        better = has & (wnr < winner)
+        winner = np.where(better, wnr, winner)
+        merged = np.where(better, m, merged)
+    return merged, winner
+
+
+# ------------------------------------------------------------ zonal ops ---
+
+def masked_sum_count(values_f8: np.ndarray, mask: np.ndarray):
+    """(sum, count) of non-NaN values under a boolean mask — the per-tile
+    partial of polygonalMean (Router.scala:151,162)."""
+    sel = mask & ~np.isnan(values_f8)
+    return float(values_f8[sel].sum()) if sel.any() else 0.0, int(sel.sum())

@@ -1,0 +1,396 @@
+"""Ingest: images -> zoom-13 tile layer -> pyramid -> attributes.
+
+Re-expresses the reference ingest job (ingest/src/main/scala/demo/
+LandsatIngest.scala:25-57, LandsatInput.scala:29-81) as a DataFrame
+pipeline:
+
+  images (Iceberg-style table, input_hint schema)
+    -> mapInPandas  decode + reproject-grid + split-to-tile fragments
+       (the RDD fetch/chunk stage, LandsatInput.scala:66-81; one Arrow batch
+       decodes many scenes, no per-row Python)
+    -> groupBy(x, y, ts).applyInPandas  merge co-keyed fragments
+       (tileToLayout merge, LandsatIngest.scala:39; order-insensitized:
+       first-data-wins in ascending image_id)
+    -> per-level groupBy(parent).applyInPandas  2x2 downsample 13 -> 1
+       (Pyramid.upLevels, LandsatIngest.scala:42-57)
+    -> layer_attrs: distinct sorted times + extent union
+       (LandsatIngest.scala:46-55)
+
+Scale notes (100 TB design):
+- the only wide shuffles are fragment->tile merge (keyed by the same
+  (x,y,ts) the data is later read by) and one per pyramid level; all are
+  partial-aggregation shaped, bytes shrink monotonically up the pyramid.
+- skewed hot cells (many scenes overlapping one tile) use the salted
+  two-phase merge (``salt_buckets > 1``): a commutative ranked merge whose
+  partials combine associatively — output proven equal to the unsalted
+  order-insensitive merge (tests/test_ingest.py).
+- every stage commits atomically (data + lineage in one manifest swap) with
+  a completion marker, so an interrupted ingest resumes without recomputing
+  finished levels (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import MAX_ZOOM, MIN_ZOOM, TILE_SIZE
+from ..catalog import Catalog
+from ..core import cellindex, kernels, tiling
+
+FRAGMENT_SCHEMA = (
+    "x int, y int, ts timestamp, cell_key long, image_id string, "
+    "caption string, frag binary"
+)
+TILE_SCHEMA = (
+    "layer string, zoom int, x int, y int, cell_key long, time_key long, "
+    "ts timestamp, tile binary, caption string, image_id string, n_frags int"
+)
+_PARTIAL_SCHEMA = (
+    "x int, y int, ts timestamp, cell_key long, image_id string, "
+    "caption string, frag binary, winner binary, n_frags int"
+)
+
+
+def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16-z"):
+    """mapInPandas fn: one images batch -> fragment rows for every
+    zoom-``zoom`` tile the scene footprint covers."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("x", "y", "ts", "cell_key", "image_id", "caption", "frag")}
+            for row in pdf.itertuples(index=False):
+                arr = kernels.decode_payload(row.bytes)
+                ext = (row.xmin, row.ymin, row.xmax, row.ymax)
+                c0, r0, c1, r1 = tiling.extent_to_tile_range(*ext, zoom)
+                for r in range(r0, r1 + 1):
+                    for c in range(c0, c1 + 1):
+                        dst = tiling.tile_extent(c, r, zoom)
+                        tile = kernels.regrid_to_extent(
+                            arr, ext, dst, (TILE_SIZE, TILE_SIZE)
+                        )
+                        out["x"].append(c)
+                        out["y"].append(r)
+                        out["ts"].append(row.ts)
+                        out["cell_key"].append(int(cellindex.cell_key(zoom, c, r)))
+                        out["image_id"].append(row.image_id)
+                        out["caption"].append(row.caption)
+                        out["frag"].append(
+                            kernels.encode_payload(tile, frag_fmt)
+                        )
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _merge_fn(layer: str, zoom: int, store_fmt: str):
+    """applyInPandas fn for groupBy(x, y, ts): merge fragments into one tile
+    row; caption/image_id = the lexicographically-first contributor
+    (deterministic under any shuffle order)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        frags = [kernels.decode_payload(b) for b in pdf["frag"]]
+        ids = pdf["image_id"].tolist()
+        merged = kernels.merge_fragments(frags, ids)
+        first = int(np.argmin(np.asarray(ids, dtype=object)))
+        ts = pdf["ts"].iloc[0]
+        millis = int(pd.Timestamp(ts).value // 1_000_000)
+        return pd.DataFrame(
+            dict(
+                layer=[layer],
+                zoom=[zoom],
+                x=[int(pdf["x"].iloc[0])],
+                y=[int(pdf["y"].iloc[0])],
+                cell_key=[int(pdf["cell_key"].iloc[0])],
+                time_key=[int(cellindex.day_bucket(millis))],
+                ts=[ts],
+                tile=[kernels.encode_payload(merged, store_fmt)],
+                caption=[pdf["caption"].iloc[first]],
+                image_id=[ids[first]],
+                n_frags=[len(ids)],
+            )
+        )
+
+    return fn
+
+
+def _partial_merge_fn():
+    """Salted phase 1: merge fragments within a (key, salt) group using the
+    commutative ranked merge; emits one partial fragment + winner map."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        frags = [kernels.decode_payload(b) for b in pdf["frag"]]
+        ids = pdf["image_id"].tolist()
+        merged, winner = kernels.merge_fragments_ranked(frags, ids)
+        first = int(np.argmin(np.asarray(ids, dtype=object)))
+        return pd.DataFrame(
+            dict(
+                x=[int(pdf["x"].iloc[0])],
+                y=[int(pdf["y"].iloc[0])],
+                ts=[pdf["ts"].iloc[0]],
+                cell_key=[int(pdf["cell_key"].iloc[0])],
+                image_id=[ids[first]],
+                caption=[pdf["caption"].iloc[first]],
+                frag=[kernels.encode_payload(merged, "npy-u16-z")],
+                winner=[np.ascontiguousarray(winner).tobytes()],
+                n_frags=[len(ids)],
+            )
+        )
+
+    return fn
+
+
+def _final_merge_fn(layer: str, zoom: int, store_fmt: str):
+    """Salted phase 2: combine ranked partials -> final tile row."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for b, wb in zip(pdf["frag"], pdf["winner"]):
+            m = kernels.decode_payload(b)
+            w = np.frombuffer(wb, dtype="S64").reshape(m.shape)
+            parts.append((m, w))
+        merged, _ = kernels.combine_ranked(parts)
+        ids = pdf["image_id"].tolist()
+        first = int(np.argmin(np.asarray(ids, dtype=object)))
+        ts = pdf["ts"].iloc[0]
+        millis = int(pd.Timestamp(ts).value // 1_000_000)
+        return pd.DataFrame(
+            dict(
+                layer=[layer],
+                zoom=[zoom],
+                x=[int(pdf["x"].iloc[0])],
+                y=[int(pdf["y"].iloc[0])],
+                cell_key=[int(pdf["cell_key"].iloc[0])],
+                time_key=[int(cellindex.day_bucket(millis))],
+                ts=[ts],
+                tile=[kernels.encode_payload(merged, store_fmt)],
+                caption=[pdf["caption"].iloc[first]],
+                image_id=[ids[first]],
+                n_frags=[int(pdf["n_frags"].sum())],
+            )
+        )
+
+    return fn
+
+
+def _parent_fn(layer: str, zoom: int, store_fmt: str):
+    """applyInPandas fn for groupBy(parent x, y, ts): assemble the 2x2
+    children into the z-1 parent (Pyramid.upLevels, LandsatIngest.scala:42)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        children = {}
+        for row in pdf.itertuples(index=False):
+            quad = (row.y % 2) * 2 + (row.x % 2)
+            children[quad] = kernels.decode_payload(row.tile)
+        parent = kernels.assemble_parent(children, TILE_SIZE)
+        px = int(pdf["x"].iloc[0]) // 2
+        py = int(pdf["y"].iloc[0]) // 2
+        ids = pdf["image_id"].tolist()
+        first = int(np.argmin(np.asarray(ids, dtype=object)))
+        ts = pdf["ts"].iloc[0]
+        millis = int(pd.Timestamp(ts).value // 1_000_000)
+        return pd.DataFrame(
+            dict(
+                layer=[layer],
+                zoom=[zoom],
+                x=[px],
+                y=[py],
+                cell_key=[int(cellindex.cell_key(zoom, px, py))],
+                time_key=[int(cellindex.day_bucket(millis))],
+                ts=[ts],
+                tile=[kernels.encode_payload(parent, store_fmt)],
+                caption=[pdf["caption"].iloc[first]],
+                image_id=[ids[first]],
+                n_frags=[int(pdf["n_frags"].sum())],
+            )
+        )
+
+    return fn
+
+
+def _lineage_pdf(layer, stage, zoom, rows, nbytes, wall_s, partitions):
+    return pd.DataFrame(
+        [
+            dict(
+                layer=layer,
+                stage=stage,
+                zoom=zoom,
+                rows=int(rows),
+                bytes=int(nbytes),
+                wall_s=float(wall_s),
+                partitions=int(partitions),
+                finished_at=pd.Timestamp.utcnow().tz_localize(None),
+            )
+        ]
+    )
+
+
+def _commit_level(cat: Catalog, df: DataFrame, layer: str, stage: str, zoom: int, t0: float):
+    """Stage tile files + lineage row, publish in ONE atomic manifest swap
+    (exactly-once per stage even if we crash right after)."""
+    files = cat.stage_spark_write(df, "tiles")
+    import os
+
+    nbytes = sum(os.path.getsize(f) for f in files)
+    # count rows from the staged files (cheap footer read) to avoid a
+    # second job over the pipeline
+    import pyarrow.parquet as pq
+
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    wall = time.time() - t0
+    lin_files = []
+    import pyarrow as pa
+
+    lpath = os.path.join(cat.table_dir("lineage"), f"{stage.replace(':','_')}-{zoom}.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            _lineage_pdf(layer, stage, zoom, rows, nbytes, wall, len(files)),
+            preserve_index=False,
+        ),
+        lpath,
+    )
+    lin_files.append(lpath)
+    cat.commit(
+        {"tiles": files, "lineage": lin_files},
+        markers={stage: dict(rows=rows, bytes=nbytes, wall_s=wall, zoom=zoom)},
+    )
+    return rows, nbytes
+
+
+def read_level(spark: SparkSession, cat: Catalog, layer: str, zoom: int) -> DataFrame:
+    return (
+        cat.read_spark(spark, "tiles")
+        .filter((F.col("layer") == layer) & (F.col("zoom") == zoom))
+    )
+
+
+def ingest_images(
+    spark: SparkSession,
+    cat: Catalog,
+    layer: str,
+    images_df: DataFrame | None = None,
+    max_zoom: int = MAX_ZOOM,
+    min_zoom: int = MIN_ZOOM,
+    store_fmt: str = "npy-u16-z",
+    salt_buckets: int = 1,
+    chunk_partitions: int | None = None,
+    fail_after_stage: str | None = None,
+) -> dict:
+    """Run the full ingest; resumable (skips stages whose completion marker
+    is already committed).  Returns metrics {stage: {rows, wall_s, ...}}.
+
+    ``fail_after_stage`` injects a crash AFTER the named stage's commit —
+    the kill/resume test hook.
+    """
+    if images_df is None:
+        images_df = cat.read_spark(spark, "images")
+    metrics = {}
+    par = chunk_partitions or spark.sparkContext.defaultParallelism
+
+    leaf_stage = f"ingest:{layer}:z{max_zoom}"
+    if not cat.is_committed(leaf_stage):
+        t0 = time.time()
+        src = images_df.select(
+            "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption"
+        ).repartition(par, "image_id")
+        frags = src.mapInPandas(_chunk_fn(max_zoom), schema=FRAGMENT_SCHEMA)
+        if salt_buckets > 1:
+            # two-phase merge: partial within (key, salt), final across salts
+            salted = frags.withColumn(
+                "salt", F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets))
+            )
+            partials = salted.groupBy("x", "y", "ts", "salt").applyInPandas(
+                _partial_merge_fn(), schema=_PARTIAL_SCHEMA
+            )
+            tiles = partials.groupBy("x", "y", "ts").applyInPandas(
+                _final_merge_fn(layer, max_zoom, store_fmt), schema=TILE_SCHEMA
+            )
+        else:
+            tiles = frags.groupBy("x", "y", "ts").applyInPandas(
+                _merge_fn(layer, max_zoom, store_fmt), schema=TILE_SCHEMA
+            )
+        rows, nbytes = _commit_level(cat, tiles, layer, leaf_stage, max_zoom, t0)
+        metrics[leaf_stage] = dict(rows=rows, bytes=nbytes, wall_s=time.time() - t0)
+        if fail_after_stage == leaf_stage:
+            raise RuntimeError(f"injected failure after {leaf_stage}")
+    else:
+        metrics[leaf_stage] = dict(skipped=True, **(cat.marker(leaf_stage) or {}))
+
+    for zoom in range(max_zoom - 1, min_zoom - 1, -1):
+        stage = f"ingest:{layer}:z{zoom}"
+        if cat.is_committed(stage):
+            metrics[stage] = dict(skipped=True, **(cat.marker(stage) or {}))
+            continue
+        t0 = time.time()
+        child = read_level(spark, cat, layer, zoom + 1)
+        parents = (
+            child.withColumn("px", (F.col("x") / 2).cast("int"))
+            .withColumn("py", (F.col("y") / 2).cast("int"))
+            .groupBy("px", "py", "ts")
+            .applyInPandas(_parent_fn(layer, zoom, store_fmt), schema=TILE_SCHEMA)
+        )
+        rows, nbytes = _commit_level(cat, parents, layer, stage, zoom, t0)
+        metrics[stage] = dict(rows=rows, bytes=nbytes, wall_s=time.time() - t0)
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected failure after {stage}")
+
+    attrs_stage = f"ingest:{layer}:attrs"
+    if not cat.is_committed(attrs_stage):
+        t0 = time.time()
+        # metadata computed WITHOUT touching pixels (the reference's explicit
+        # optimization, LandsatInput.scala:32-38): footprint/ts columns only
+        times = [
+            r["ts"]
+            for r in images_df.select("ts").distinct().orderBy("ts").collect()
+        ]
+        ext = images_df.agg(
+            F.min("xmin").alias("xmin"),
+            F.min("ymin").alias("ymin"),
+            F.max("xmax").alias("xmax"),
+            F.max("ymax").alias("ymax"),
+        ).collect()[0]
+        import json
+
+        attrs = pd.DataFrame(
+            [
+                dict(
+                    layer=layer,
+                    zoom=0,
+                    name="times",
+                    json=json.dumps(
+                        [int(pd.Timestamp(t).value // 1_000_000) for t in times]
+                    ),
+                ),
+                dict(
+                    layer=layer,
+                    zoom=0,
+                    name="extent",
+                    json=json.dumps(
+                        dict(
+                            xmin=ext["xmin"],
+                            ymin=ext["ymin"],
+                            xmax=ext["xmax"],
+                            ymax=ext["ymax"],
+                            crs="EPSG:3857",
+                        )
+                    ),
+                ),
+                dict(
+                    layer=layer,
+                    zoom=0,
+                    name="layout",
+                    json=json.dumps(
+                        dict(tile_size=TILE_SIZE, max_zoom=max_zoom, min_zoom=min_zoom)
+                    ),
+                ),
+            ]
+        )
+        cat.append_pandas(attrs, "layer_attrs", markers={attrs_stage: {}})
+        metrics[attrs_stage] = dict(wall_s=time.time() - t0)
+    else:
+        metrics[attrs_stage] = dict(skipped=True)
+    return metrics

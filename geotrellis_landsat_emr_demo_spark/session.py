@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode here, but every knob is chosen for the 1000-executor case:
+- AQE on (runtime re-plan, skew-join splitting)
+- Arrow transfer on with a bounded batch size — tile rows carry ~0.1-1.3 MB
+  binary payloads, so records-per-batch (not bytes) is the safe control
+- shuffle partitions sized to cores locally; on a real cluster set it to
+  2-3x total executor cores or rely on AQE coalescing
+- Kryo is irrelevant (no RDD lambdas); Tungsten/Arrow handle serialization
+  (reference needed Kryo: server/src/main/scala/demo/Main.scala:36-37)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "geotrellis-landsat-emr-demo-spark",
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 64,
+    driver_mem: str | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(
+        8, int(master[6:-1]) if master.startswith("local[") and master[6:-1].isdigit() else cpus
+    )
+    driver_mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        # binary tile rows defeat size estimates; keep broadcasts explicit
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
