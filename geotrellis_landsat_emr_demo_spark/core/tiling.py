@@ -33,8 +33,17 @@ def map_to_tile(x, y, zoom):
     """
     n = 1 << zoom
     span = WORLD / n
-    col = np.floor((np.asarray(x, dtype="f8") + ORIGIN) / span).astype("i8")
-    row = np.floor((ORIGIN - np.asarray(y, dtype="f8")) / span).astype("i8")
+
+    def snap_floor(v):
+        # points mathematically on a tile edge can land 1 ulp below it;
+        # snap to the edge before flooring so edge points go to the tile
+        # whose min-edge they sit on (half-open grid semantics)
+        vr = np.rint(v)
+        v = np.where(np.abs(v - vr) < 1e-9, vr, v)
+        return np.floor(v).astype("i8")
+
+    col = snap_floor((np.asarray(x, dtype="f8") + ORIGIN) / span)
+    row = snap_floor((ORIGIN - np.asarray(y, dtype="f8")) / span)
     return np.clip(col, 0, n - 1), np.clip(row, 0, n - 1)
 
 

@@ -127,9 +127,11 @@ def scene_array(spec: dict) -> np.ndarray:
     return out
 
 
-def images_pdf(tier: str = "t-small", **kw) -> pd.DataFrame:
+def images_pdf(tier: str = "t-small", fmt_override: str | None = None, **kw) -> pd.DataFrame:
     rows = []
     for spec in scene_specs(tier, **kw):
+        if fmt_override:
+            spec = {**spec, "fmt": fmt_override}
         arr = scene_array(spec)
         payload = kernels.encode_payload(arr, spec["fmt"])
         phash = int.from_bytes(

@@ -1,0 +1,68 @@
+"""Catalog layer: atomic multi-table commits, markers, pruned reads."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.dataset as ds
+
+from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+
+from conftest import SCRATCH
+
+
+def _cat(name):
+    root = os.path.join(SCRATCH, name)
+    shutil.rmtree(root, ignore_errors=True)
+    return Catalog(root)
+
+
+def test_append_and_snapshot():
+    cat = _cat("c1")
+    assert cat.snapshot_id() == 0
+    cat.append_pandas(pd.DataFrame({"a": [1, 2]}), "t")
+    assert cat.snapshot_id() == 1
+    cat.append_pandas(pd.DataFrame({"a": [3]}), "t")
+    assert cat.snapshot_id() == 2
+    assert sorted(cat.read_pandas("t")["a"].tolist()) == [1, 2, 3]
+    assert cat.history() == [0, 1]
+
+
+def test_multi_table_atomic_commit_with_marker():
+    cat = _cat("c2")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f1 = os.path.join(cat.table_dir("data"), "x.parquet")
+    pq.write_table(pa.table({"v": [1]}), f1)
+    f2 = os.path.join(cat.table_dir("lineage"), "y.parquet")
+    pq.write_table(pa.table({"stage": ["s1"]}), f2)
+    cat.commit({"data": [f1], "lineage": [f2]}, markers={"s1": {"rows": 1}})
+    assert cat.is_committed("s1")
+    assert cat.marker("s1")["rows"] == 1
+    assert len(cat.files("data")) == 1 and len(cat.files("lineage")) == 1
+
+
+def test_staged_files_invisible_until_commit():
+    cat = _cat("c3")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = os.path.join(cat.table_dir("t"), "orphan.parquet")
+    pq.write_table(pa.table({"v": [1]}), f)
+    # file exists on disk but is not in the manifest -> not visible
+    assert cat.files("t") == []
+    try:
+        cat.read_pandas("t")
+        assert False, "should raise"
+    except FileNotFoundError:
+        pass
+    cat.commit({"t": [f]})
+    assert len(cat.files("t")) == 1
+
+
+def test_pruned_arrow_read():
+    cat = _cat("c4")
+    cat.append_pandas(pd.DataFrame({"k": range(100), "v": range(100)}), "t")
+    tbl = cat.read_arrow("t", filters=(ds.field("k") == 42), columns=["v"])
+    assert tbl.num_rows == 1 and tbl["v"][0].as_py() == 42

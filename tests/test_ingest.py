@@ -1,0 +1,215 @@
+"""Ingest correctness vs the pure-numpy oracle: tile assignments, merged
+pixels, pyramid counts, caption equality, salting equivalence, resume."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geotrellis_landsat_emr_demo_spark import fixtures
+from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+from geotrellis_landsat_emr_demo_spark.core import kernels as K, tiling
+from geotrellis_landsat_emr_demo_spark.operators import ingest
+
+from conftest import SCRATCH
+
+
+def oracle_leaf_keys(tier="t-small", zoom=13):
+    """Expected (x, y, ts_millis) leaf assignments straight from footprints."""
+    keys = set()
+    for spec in fixtures.scene_specs(tier):
+        c0, r0, c1, r1 = tiling.extent_to_tile_range(
+            spec["xmin"], spec["ymin"], spec["xmax"], spec["ymax"], zoom
+        )
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                keys.add((c, r, spec["ts_millis"]))
+    return keys
+
+
+def oracle_pyramid_counts(tier="t-small", max_zoom=13, min_zoom=1):
+    counts = {}
+    level = oracle_leaf_keys(tier, max_zoom)
+    counts[max_zoom] = len(level)
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        level = {(c // 2, r // 2, t) for (c, r, t) in level}
+        counts[z] = len(level)
+    return counts
+
+
+def oracle_tile(tier, x, y, ts_millis, zoom=13):
+    """Recompute a merged leaf tile locally: regrid every covering scene and
+    merge first-data-wins in image_id order (no Spark)."""
+    frags, ids = [], []
+    dst = tiling.tile_extent(x, y, zoom)
+    for spec in fixtures.scene_specs(tier):
+        if spec["ts_millis"] != ts_millis:
+            continue
+        c0, r0, c1, r1 = tiling.extent_to_tile_range(
+            spec["xmin"], spec["ymin"], spec["xmax"], spec["ymax"], zoom
+        )
+        if not (c0 <= x <= c1 and r0 <= y <= r1):
+            continue
+        ext = (spec["xmin"], spec["ymin"], spec["xmax"], spec["ymax"])
+        # mirror the engine path exactly: encode->decode the scene payload
+        arr = K.decode_payload(
+            K.encode_payload(fixtures.scene_array(spec), spec["fmt"])
+        )
+        frags.append(K.regrid_to_extent(arr, ext, dst, (256, 256)))
+        ids.append(spec["image_id"])
+    assert frags, "oracle found no covering scene"
+    return K.merge_fragments(frags, ids), sorted(ids)[0]
+
+
+def _millis(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1_000_000)
+
+
+def test_leaf_assignments_exact(tsmall_catalog):
+    pdf = tsmall_catalog.read_pandas("tiles", columns=["zoom", "x", "y", "ts"])
+    got = {
+        (int(r.x), int(r.y), _millis(r.ts))
+        for r in pdf[pdf.zoom == 13].itertuples(index=False)
+    }
+    assert got == oracle_leaf_keys()
+
+
+def test_pyramid_counts_exact(tsmall_catalog):
+    pdf = tsmall_catalog.read_pandas("tiles", columns=["zoom"])
+    got = pdf.groupby("zoom").size().to_dict()
+    assert got == oracle_pyramid_counts()
+
+
+def test_hot_cell_merge_pixels_and_caption(tsmall_catalog):
+    """The hot cell (4 overlapping scenes per timestamp) must merge to the
+    oracle's exact pixels, and carry the winner's byte-equal caption."""
+    pdf = tsmall_catalog.read_pandas("tiles")
+    leaf = pdf[pdf.zoom == 13]
+    hot = leaf[leaf.n_frags == leaf.n_frags.max()].iloc[0]
+    assert hot.n_frags == 4
+    expect, winner_id = oracle_tile(
+        "t-small", int(hot.x), int(hot.y), _millis(hot.ts)
+    )
+    got = K.decode_payload(hot.tile)
+    assert (got == expect).all()
+    assert hot.image_id == winner_id
+    expect_caption = next(
+        s["caption"] for s in fixtures.scene_specs("t-small") if s["image_id"] == winner_id
+    )
+    assert hot.caption == expect_caption  # byte-equal through every shuffle
+
+
+def test_every_leaf_tile_matches_oracle(tsmall_catalog):
+    pdf = tsmall_catalog.read_pandas("tiles")
+    leaf = pdf[pdf.zoom == 13]
+    for row in leaf.itertuples(index=False):
+        expect, _ = oracle_tile("t-small", int(row.x), int(row.y), _millis(row.ts))
+        assert (K.decode_payload(row.tile) == expect).all(), (row.x, row.y)
+
+
+def test_decoded_pixel_invariant_lossless(tsmall_catalog):
+    """decode(bytes) == oracle pixels exactly for the lossless fmt."""
+    pdf = tsmall_catalog.read_pandas("images", columns=["image_id", "bytes"])
+    specs = {s["image_id"]: s for s in fixtures.scene_specs("t-small")}
+    for row in pdf.itertuples(index=False):
+        assert (
+            K.decode_payload(row.bytes) == fixtures.scene_array(specs[row.image_id])
+        ).all()
+
+
+def test_lossy_fmt_psnr_gate():
+    """jq75 variant: decoded pixels PSNR >= 40 dB vs oracle, NoData exact."""
+    pdf = fixtures.images_pdf("t-small", fmt_override="jq75")
+    specs = {s["image_id"]: s for s in fixtures.scene_specs("t-small")}
+    for row in pdf.head(2).itertuples(index=False):
+        truth = fixtures.scene_array(specs[row.image_id]).astype("f8")
+        dec = K.decode_payload(row.bytes).astype("f8")
+        assert ((dec == 0) == (truth == 0)).all()
+        mse = ((dec - truth) ** 2).mean()
+        assert 10 * np.log10(65535.0**2 / mse) >= 40
+
+
+def test_salted_ingest_equals_unsalted(spark, tsmall_catalog):
+    root = os.path.join(SCRATCH, "salted")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    fixtures.write_all(cat, "t-small")
+    ingest.ingest_images(
+        spark, cat, "landsat", max_zoom=13, min_zoom=12, salt_buckets=3
+    )
+    a = (
+        tsmall_catalog.read_pandas("tiles")
+        .query("zoom >= 12")
+        .sort_values(["zoom", "x", "y", "ts"])
+        .reset_index(drop=True)
+    )
+    b = (
+        cat.read_pandas("tiles")
+        .sort_values(["zoom", "x", "y", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for i in range(len(a)):
+        assert (
+            K.decode_payload(a.tile[i]) == K.decode_payload(b.tile[i])
+        ).all(), i
+        assert a.caption[i] == b.caption[i]
+        assert int(a.n_frags[i]) == int(b.n_frags[i])
+
+
+def test_resume_after_crash(spark, tsmall_catalog):
+    """Kill mid-ingest (after z13 commit), rerun: completed stages are
+    skipped, final result identical, no duplicate rows."""
+    root = os.path.join(SCRATCH, "resume")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    fixtures.write_all(cat, "t-small")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ingest.ingest_images(
+            spark, cat, "landsat", max_zoom=13, min_zoom=11,
+            fail_after_stage="ingest:landsat:z13",
+        )
+    assert cat.is_committed("ingest:landsat:z13")
+    m = ingest.ingest_images(spark, cat, "landsat", max_zoom=13, min_zoom=11)
+    assert m["ingest:landsat:z13"].get("skipped") is True
+    pdf = cat.read_pandas("tiles")
+    # no duplicates
+    assert not pdf.duplicated(["layer", "zoom", "x", "y", "ts"]).any()
+    ref = tsmall_catalog.read_pandas("tiles").query("zoom >= 11")
+    assert pdf.groupby("zoom").size().to_dict() == ref.groupby("zoom").size().to_dict()
+    # lineage recorded for each stage
+    lin = cat.read_pandas("lineage")
+    assert set(lin["zoom"]) == {13, 12, 11}
+    assert (lin["rows"] > 0).all()
+
+
+def test_pyramid_parent_pixels(tsmall_catalog):
+    """A zoom-12 parent equals the oracle assembly of its zoom-13 children."""
+    pdf = tsmall_catalog.read_pandas("tiles")
+    leaf = pdf[pdf.zoom == 13]
+    parent = pdf[pdf.zoom == 12].iloc[0]
+    ts = parent.ts
+    kids = leaf[
+        (leaf.x // 2 == parent.x) & (leaf.y // 2 == parent.y) & (leaf.ts == ts)
+    ]
+    children = {
+        (int(r.y) % 2) * 2 + (int(r.x) % 2): K.decode_payload(r.tile)
+        for r in kids.itertuples(index=False)
+    }
+    expect = K.assemble_parent(children)
+    assert (K.decode_payload(parent.tile) == expect).all()
+
+
+def test_layer_attrs(tsmall_catalog):
+    import json
+
+    attrs = tsmall_catalog.read_pandas("layer_attrs")
+    times = json.loads(attrs[attrs.name == "times"].iloc[0].json)
+    expect_times = sorted({s["ts_millis"] for s in fixtures.scene_specs("t-small")})
+    assert times == expect_times
+    ext = json.loads(attrs[attrs.name == "extent"].iloc[0].json)
+    specs = fixtures.scene_specs("t-small")
+    assert ext["xmin"] == min(s["xmin"] for s in specs)
+    assert ext["ymax"] == max(s["ymax"] for s in specs)
