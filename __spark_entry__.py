@@ -1,38 +1,919 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry maps an operator from SURVEY.md §2 (or a
+training-data pipeline op) onto the driver's generic parquet tables
+(region/nation/.../documents/embeddings); ``oracle_sql()`` gives the
+equivalent DuckDB SQL.  The raster/tile engine itself is exercised by
+``python -m pytest tests/`` against the synthetic image corpus
+(FIXTURES.md) — these entries cover the operator *semantics* on the
+driver's data.
+
+Column names are aliased identically on both sides; doubles produced by
+arithmetic are rounded to dodge summation-order noise; timestamps are
+formatted to strings.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+R_EARTH = 6378137.0
+ORIGIN = math.pi * R_EARTH
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# shared synthetic geometry over the events table: deterministic lat/lng per
+# event (pure column math, identical in both engines)
+
+_POINTS_SQL = """
+    SELECT event_id, user_id, ts, value,
+           (user_id % 360) - 180 + 0.5 AS lng,
+           (event_id % 160) - 80 + 0.5  AS lat
+    FROM events
+"""
+
+
+def _points(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        ((F.col("user_id") % 360) - 180 + 0.5).alias("lng"),
+        ((F.col("event_id") % 160) - 80 + 0.5).alias("lat"),
+    )
+
+
+def _mercator(df):
+    return df.withColumn("mx", F.lit(R_EARTH) * F.radians("lng")).withColumn(
+        "my",
+        F.lit(R_EARTH)
+        * F.log(F.tan(F.lit(math.pi / 4) + F.radians("lat") / 2)),
+    )
+
+
+_MERC_SQL = f"""
+    SELECT *,
+           {R_EARTH} * radians(lng) AS mx,
+           {R_EARTH} * ln(tan(pi()/4 + radians(lat)/2)) AS my
+    FROM ({_POINTS_SQL})
+"""
+
+
+def _cells(spark, sf_dir, zoom=6):
+    span = 2 * ORIGIN / (1 << zoom)
+    return (
+        _mercator(_points(spark, sf_dir))
+        .withColumn("cx", F.floor((F.col("mx") + ORIGIN) / span).cast("long"))
+        .withColumn("cy", F.floor((ORIGIN - F.col("my")) / span).cast("long"))
+    )
+
+
+def _cells_sql(zoom=6):
+    span = 2 * ORIGIN / (1 << zoom)
+    return f"""
+        SELECT *,
+               CAST(floor((mx + {ORIGIN}) / {span}) AS BIGINT) AS cx,
+               CAST(floor(({ORIGIN} - my) / {span}) AS BIGINT) AS cy
+        FROM ({_MERC_SQL})
+    """
+
+
+# AOI rectangles for the envelope/PIP join (lng0, lat0, lng1, lat1)
+_AOIS = [
+    ("aoi-west", -120.0, -40.0, -60.0, 40.0),
+    ("aoi-east", 20.0, -20.0, 100.0, 60.0),
+    ("aoi-none", 170.0, 75.0, 179.0, 79.0),
+]
+_AOI_SQL_VALUES = ", ".join(
+    f"('{a}', {x0}, {y0}, {x1}, {y1})" for a, x0, y0, x1, y1 in _AOIS
+)
+
+# kNN query points
+_QPTS = [("q0", -150.5, -60.5), ("q1", -30.5, 10.5), ("q2", 60.5, 40.5), ("q3", 150.5, -20.5)]
+_QPTS_SQL_VALUES = ", ".join(f"('{q}', {x}, {y})" for q, x, y in _QPTS)
+
+
+# --------------------------------------------------------------------------
+# query implementations
+
+
+def q_cell_assign_agg(spark, sf_dir):
+    """S-family: H3/S2-style cell assignment + hash aggregation (SURVEY
+    §1.3 cell_key; engine analog: operators.joins.with_cover_cells)."""
+    return (
+        _cells(spark, sf_dir, 6)
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n_points"), F.countDistinct("user_id").alias("n_users"))
+        .withColumn("cell_id", F.col("cy") * 64 + F.col("cx"))
+        .select("cell_id", "cx", "cy", "n_points", "n_users")
+    )
+
+
+def sql_cell_assign_agg():
+    return f"""
+        SELECT cy * 64 + cx AS cell_id, cx, cy,
+               count(*) AS n_points, count(DISTINCT user_id) AS n_users
+        FROM ({_cells_sql(6)})
+        GROUP BY cx, cy
+    """
+
+
+def q_pyramid_rollup(spark, sf_dir):
+    """A4: parent-tile pyramid aggregation (zoom 6 -> 4), the treeReduce
+    shape of Pyramid.upLevels (engine: operators.ingest pyramid loop)."""
+    base = _cells(spark, sf_dir, 6).select("cx", "cy", "event_id")
+    levels = []
+    cur = base
+    for zoom in (6, 5, 4):
+        levels.append(
+            cur.groupBy("cx", "cy")
+            .agg(F.count("*").alias("n_points"))
+            .withColumn("zoom", F.lit(zoom))
+        )
+        cur = cur.select(
+            (F.col("cx") / 2).cast("long").alias("cx"),
+            (F.col("cy") / 2).cast("long").alias("cy"),
+            "event_id",
+        )
+    out = levels[0]
+    for l in levels[1:]:
+        out = out.unionByName(l)
+    return out.groupBy("zoom").agg(
+        F.count("*").alias("n_cells"), F.sum("n_points").alias("n_points")
+    )
+
+
+def sql_pyramid_rollup():
+    return f"""
+        WITH base AS (SELECT cx, cy FROM ({_cells_sql(6)})),
+        l6 AS (SELECT 6 AS zoom, cx, cy, count(*) AS n FROM base GROUP BY cx, cy),
+        l5 AS (SELECT 5 AS zoom, cx // 2 AS cx, cy // 2 AS cy, count(*) AS n
+               FROM base GROUP BY cx // 2, cy // 2),
+        l4 AS (SELECT 4 AS zoom, cx // 4 AS cx, cy // 4 AS cy, count(*) AS n
+               FROM base GROUP BY cx // 4, cy // 4),
+        uni AS (SELECT * FROM l6 UNION ALL SELECT * FROM l5 UNION ALL SELECT * FROM l4)
+        SELECT zoom, count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS n_points
+        FROM uni GROUP BY zoom
+    """
+
+
+def q_envelope_pip_join(spark, sf_dir):
+    """J3/J4: point-in-envelope spatial join against broadcast AOIs
+    (engine: operators.joins.pip_join, exact-polygon variant)."""
+    pts = _points(spark, sf_dir)
+    aoi = F.broadcast(
+        spark.createDataFrame(_AOIS, "aoi_id string, x0 double, y0 double, x1 double, y1 double")
+    )
+    j = pts.join(
+        aoi,
+        (F.col("lng") >= F.col("x0"))
+        & (F.col("lng") <= F.col("x1"))
+        & (F.col("lat") >= F.col("y0"))
+        & (F.col("lat") <= F.col("y1")),
+        "inner",
+    )
+    return j.groupBy("aoi_id").agg(
+        F.count("*").alias("n_points"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def sql_envelope_pip_join():
+    return f"""
+        SELECT aoi_id, count(*) AS n_points, count(DISTINCT user_id) AS n_users
+        FROM ({_POINTS_SQL}) p
+        JOIN (SELECT * FROM (VALUES {_AOI_SQL_VALUES}) AS t(aoi_id, x0, y0, x1, y1)) a
+          ON p.lng >= a.x0 AND p.lng <= a.x1 AND p.lat >= a.y0 AND p.lat <= a.y1
+        GROUP BY aoi_id
+    """
+
+
+def q_knn_points(spark, sf_dir):
+    """J2 generalization: kNN lookup — top-3 nearest events per query point
+    (engine: operators.joins.knn_join with Morton ring expansion)."""
+    pts = _points(spark, sf_dir)
+    q = F.broadcast(
+        spark.createDataFrame(_QPTS, "query_id string, qlng double, qlat double")
+    )
+    j = q.crossJoin(pts).withColumn(
+        "dist_sq",
+        (F.col("lng") - F.col("qlng")) ** 2 + (F.col("lat") - F.col("qlat")) ** 2,
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_sq", "event_id")
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "event_id", "rank")
+    )
+
+
+def sql_knn_points():
+    return f"""
+        SELECT query_id, event_id, rank FROM (
+            SELECT q.query_id, p.event_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY (p.lng - q.qlng)^2 + (p.lat - q.qlat)^2, p.event_id
+                   ) AS rank
+            FROM (SELECT * FROM (VALUES {_QPTS_SQL_VALUES}) AS t(query_id, qlng, qlat)) q
+            CROSS JOIN ({_POINTS_SQL}) p
+        ) WHERE rank <= 3
+    """
+
+
+def q_spacetime_key_agg(spark, sf_dir):
+    """The SpaceTimeKey aggregation: (day bucket, cell) -> count/avg
+    (Z-order temporalResolution=86400000, conf/output.json:15-18)."""
+    return (
+        _cells(spark, sf_dir, 4)
+        .withColumn("day", F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long"))
+        .groupBy("day", "cx")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+    )
+
+
+def sql_spacetime_key_agg():
+    span4 = 2 * ORIGIN / 16
+    return f"""
+        SELECT CAST(floor(epoch(e.ts) / 86400) AS BIGINT) AS day,
+               CAST(floor(({R_EARTH} * radians((user_id % 360) - 180 + 0.5) + {ORIGIN}) / {span4}) AS BIGINT) AS cx,
+               count(*) AS n, round(sum(value), 3) AS sum_value
+        FROM events e
+        GROUP BY 1, 2
+    """
+
+
+def q_scan_filter_project(spark, sf_dir):
+    """S1/P1/P2: pushed-down scan predicates + projection."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def sql_scan_filter_project():
+    return """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND o_orderpriority = '1-URGENT'
+    """
+
+
+def q_distinct_times(spark, sf_dir):
+    """A1/O1: distinct sorted instants (LandsatIngest.scala:48-53)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+        .orderBy("day")
+    )
+
+
+def sql_distinct_times():
+    return "SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events ORDER BY day"
+
+
+def q_extent_agg(spark, sf_dir):
+    """A2: metadata extent/min-max union without touching payloads."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("n"),
+    )
+
+
+def sql_extent_agg():
+    return """
+        SELECT strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+               strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               count(*) AS n
+        FROM lineitem
+    """
+
+
+def q_two_date_diff_join(spark, sf_dir):
+    """J1: two-slice self equi-join (tile@t1 vs tile@t2 -> clicks vs
+    purchases per user), inner — both sides must exist."""
+    ev = _t(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 3).alias("click_avg"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 3).alias("purchase_avg"))
+    )
+    return a.join(b, "user_id", "inner").select(
+        "user_id",
+        "click_avg",
+        "purchase_avg",
+        F.round(F.col("click_avg") - F.col("purchase_avg"), 3).alias("diff"),
+    )
+
+
+def sql_two_date_diff_join():
+    return """
+        WITH a AS (SELECT user_id, round(avg(value), 3) AS click_avg
+                   FROM events WHERE event_type = 'click' GROUP BY user_id),
+             b AS (SELECT user_id, round(avg(value), 3) AS purchase_avg
+                   FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        SELECT a.user_id, a.click_avg, b.purchase_avg,
+               round(a.click_avg - b.purchase_avg, 3) AS diff
+        FROM a JOIN b ON a.user_id = b.user_id
+    """
+
+
+def q_point_lookup(spark, sf_dir):
+    """S7/J2: key-value point reads as a broadcast IN-list lookup."""
+    l = _t(spark, sf_dir, "lineitem")
+    keys = [(1, 1), (2, 1), (3, 1), (32, 2), (33, 3)]
+    cond = None
+    for ok, ln in keys:
+        c = (F.col("l_orderkey") == ok) & (F.col("l_linenumber") == ln)
+        cond = c if cond is None else (cond | c)
+    return l.filter(cond).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def sql_point_lookup():
+    return """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        WHERE (l_orderkey, l_linenumber) IN ((1,1),(2,1),(3,1),(32,2),(33,3))
+    """
+
+
+def q_zooms_rollup(spark, sf_dir):
+    """A7/S6: zooms-per-layer rollup analog: per event_type, distinct days
+    + max day (MetadataReader.scala:18-25)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_days"),
+        F.max(F.date_format("ts", "yyyy-MM-dd")).alias("max_day"),
+        F.count("*").alias("n"),
+    )
+
+
+def sql_zooms_rollup():
+    return """
+        SELECT event_type,
+               count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+               max(strftime(ts, '%Y-%m-%d')) AS max_day,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """
+
+
+def q_window_series(spark, sf_dir):
+    """§2.5 window: per-customer order series with row_number + lag gap
+    (the per-pixel time-series shape, Router.scala:61-108)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "gap_days",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "gap_days")
+    )
+
+
+def sql_window_series():
+    return """
+        SELECT o_custkey, o_orderkey, rn, gap_days FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS rn,
+                   date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ) WHERE rn <= 3
+    """
+
+
+def q_topk_orders(spark, sf_dir):
+    """O-family: global top-k with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+def sql_topk_orders():
+    return """
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """
+
+
+def q_zonal_group_mean(spark, sf_dir):
+    """A5 analog: zonal statistic as partial+final mean over a 3-way join
+    (polygonalMean shape, Router.scala:146-167)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return (
+        j.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 30))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "avg_rev"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def sql_zonal_group_mean():
+    return """
+        SELECT p_brand,
+               round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_rev,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size BETWEEN 10 AND 30
+        GROUP BY p_brand
+    """
+
+
+def q_merge_first_wins(spark, sf_dir):
+    """A3: the order-insensitive first-data-wins merge as SQL — per group,
+    the row with the smallest sort key wins (tile-fragment merge shape)."""
+    l = _t(spark, sf_dir, "lineitem")
+    # fully deterministic winner: (linenumber, partkey, suppkey) is a total
+    # order within an order in this dataset
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    winners = l.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return winners.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_winners"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def sql_merge_first_wins():
+    return """
+        SELECT l_returnflag, count(*) AS n_winners, round(sum(l_quantity), 2) AS sum_qty
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+            ) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+        GROUP BY l_returnflag
+    """
+
+
+# ------------------------------------------------------------- text ops --
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a 3-word prefix fingerprint
+    (engine: operators.textops.exact_dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " "))
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def sql_dedup_exact():
+    return """
+        SELECT md5(array_to_string((string_split(text, ' '))[1:3], ' ')) AS fp,
+               count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+def q_dedup_minhash_bands(spark, sf_dir):
+    """MinHash banding with portable string-min hashes: band bucket = the
+    two per-seed min(md5(seed||word)); buckets with >1 doc are near-dup
+    candidates (engine: operators.textops.minhash_signatures/lsh_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
+    )
+    sig = words.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("s0:"), F.col("w")))).alias("h0"),
+        F.min(F.md5(F.concat(F.lit("s1:"), F.col("w")))).alias("h1"),
+    )
+    return (
+        sig.groupBy(F.concat_ws("|", "h0", "h1").alias("band"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def sql_dedup_minhash_bands():
+    return """
+        WITH words AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ), sig AS (
+            SELECT doc_id, min(md5('s0:' || w)) AS h0, min(md5('s1:' || w)) AS h1
+            FROM words GROUP BY doc_id
+        )
+        SELECT h0 || '|' || h1 AS band, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        FROM sig GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram/token-set Jaccard near-dup pairs within a source bucket
+    (engine: operators.textops.ngram_jaccard_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("source"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    x, y = toks.alias("x"), toks.alias("y")
+    j = x.join(
+        y,
+        (F.col("x.source") == F.col("y.source")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("x.toks", "y.toks"))
+            / F.size(F.array_union("x.toks", "y.toks")),
+            3,
+        ).alias("jaccard"),
+    )
+    return j.filter(F.col("jaccard") >= 0.7)
+
+
+def sql_ngram_jaccard():
+    return """
+        WITH toks AS (
+            SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        )
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               round(len(list_intersect(x.toks, y.toks))::DOUBLE /
+                     len(list_distinct(list_concat(x.toks, y.toks))), 3) AS jaccard
+        FROM toks x JOIN toks y ON x.source = y.source AND x.doc_id < y.doc_id
+        WHERE round(len(list_intersect(x.toks, y.toks))::DOUBLE /
+                    len(list_distinct(list_concat(x.toks, y.toks))), 3) >= 0.7
+    """
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace + regex-word tokens (engine:
+    operators.textops.token_stats)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))).alias(
+            "word_tokens"
+        ),
+        F.length("text").alias("chars"),
+    )
+
+
+def sql_token_stats():
+    return r"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+               length(text) AS chars
+        FROM documents
+    """
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: distinct-token ratio, stopword ratio, mean word
+    length (engine: operators.textops.quality_score)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop = F.array([F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop)) / F.size(
+        F.array_distinct(toks)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(distinct_ratio, 3).alias("distinct_ratio"),
+        F.round(stop_ratio, 3).alias("stop_ratio"),
+    )
+
+
+def sql_quality_score():
+    return """
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               round(len(list_distinct(string_split(trim(text), ' ')))::DOUBLE /
+                     len(string_split(trim(text), ' ')), 3) AS distinct_ratio,
+               round(len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+                                        ['the','a','of','and','to','in']))::DOUBLE /
+                     len(list_distinct(string_split(trim(text), ' '))), 3) AS stop_ratio
+        FROM documents
+    """
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text (engine:
+    operators.textops.doc_fingerprint)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
+    )
+
+
+def sql_doc_fingerprint():
+    return r"""
+        SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    """
+
+
+def q_lang_stats(spark, sf_dir):
+    """Language rollup: docs/chars/token means per language tag."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split(F.col("text"), " "))), 3).alias("avg_tokens"),
+    )
+
+
+def sql_lang_stats():
+    return """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 3) AS avg_chars,
+               round(avg(len(string_split(text, ' '))), 3) AS avg_tokens
+        FROM documents GROUP BY lang
+    """
+
+
+# -------------------------------------------------------- embedding ops --
+
+
+def q_embedding_knn(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (engine:
+    operators.similarity.cosine_topk); ranks only — floats stay internal."""
+    from geotrellis_landsat_emr_demo_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk(e, q, k=3).select("query_id", "neighbor_id", "rank")
+
+
+def sql_embedding_knn():
+    return """
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+            WHERE q.vec_id < 5
+        ) WHERE rank <= 3
+    """
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the first 3 dims + counts."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.col("embedding")[0].cast("double")), 3).alias("c0"),
+        F.round(F.avg(F.col("embedding")[1].cast("double")), 3).alias("c1"),
+        F.round(F.avg(F.col("embedding")[2].cast("double")), 3).alias("c2"),
+    )
+
+
+def sql_embedding_centroids():
+    return """
+        SELECT label, count(*) AS n,
+               round(avg(embedding[1]::DOUBLE), 3) AS c0,
+               round(avg(embedding[2]::DOUBLE), 3) AS c1,
+               round(avg(embedding[3]::DOUBLE), 3) AS c2
+        FROM embeddings GROUP BY label
+    """
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pair counts per label block (engine:
+    operators.similarity.pairwise_near_dups)."""
+    from geotrellis_landsat_emr_demo_spark.operators.similarity import (
+        pairwise_near_dups,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        pairwise_near_dups(e, threshold=0.5)
+        .groupBy("block")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumnRenamed("block", "label")
+    )
+
+
+def sql_embedding_near_dups():
+    return """
+        SELECT x.label AS label, count(*) AS n_pairs
+        FROM embeddings x JOIN embeddings y
+          ON x.label = y.label AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.5
+        GROUP BY x.label
+    """
+
+
+# ----------------------------------------------------- streaming-shaped --
+
+
+def q_window_tumbling_counts(spark, sf_dir):
+    """Tumbling-window aggregation (batch shape of the Structured
+    Streaming pipeline in streaming/incremental.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sql_window_tumbling_counts():
+    return """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 6h starts a new session; sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 6 * 3600), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def sql_sessionize():
+    return """
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) GROUP BY user_id
+    """
+
+
+# ------------------------------------------------- rows-only (non-SQL) --
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Real MinHash+LSH near-dup pipeline (vectorized pandas-UDF
+    signatures + banded bucket join) — not cleanly SQL-expressible, driver
+    records rows-only."""
+    from geotrellis_landsat_emr_demo_spark.operators.textops import (
+        minhash_dedup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, n_hashes=16, bands=4, threshold=0.5).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 3).alias("est_jaccard")
+    )
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with prefix blocking (pandas-UDF simhash) —
+    rows-only check."""
+    from geotrellis_landsat_emr_demo_spark.operators.textops import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=16)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH + exact bucket re-rank —
+    approximate by design, driver records rows-only; recall vs brute force
+    is asserted in tests/test_textops.py."""
+    from geotrellis_landsat_emr_demo_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(e, q, k=3, bits=6).select("query_id", "neighbor_id", "rank")
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial cell assignment + envelope PIP join + rollup on
+    sf0.001 (the engine's cell-key join architecture on the driver's data)."""
+    return q_envelope_pip_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cell_assign_agg": q_cell_assign_agg,
+        "pyramid_rollup": q_pyramid_rollup,
+        "envelope_pip_join": q_envelope_pip_join,
+        "knn_points": q_knn_points,
+        "spacetime_key_agg": q_spacetime_key_agg,
+        "scan_filter_project": q_scan_filter_project,
+        "distinct_times": q_distinct_times,
+        "extent_agg": q_extent_agg,
+        "two_date_diff_join": q_two_date_diff_join,
+        "point_lookup": q_point_lookup,
+        "zooms_rollup": q_zooms_rollup,
+        "window_series": q_window_series,
+        "topk_orders": q_topk_orders,
+        "zonal_group_mean": q_zonal_group_mean,
+        "merge_first_wins": q_merge_first_wins,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_bands": q_dedup_minhash_bands,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_stats": q_lang_stats,
+        "embedding_knn": q_embedding_knn,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_near_dups": q_embedding_near_dups,
+        "window_tumbling_counts": q_window_tumbling_counts,
+        "sessionize": q_sessionize,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cell_assign_agg": sql_cell_assign_agg(),
+        "pyramid_rollup": sql_pyramid_rollup(),
+        "envelope_pip_join": sql_envelope_pip_join(),
+        "knn_points": sql_knn_points(),
+        "spacetime_key_agg": sql_spacetime_key_agg(),
+        "scan_filter_project": sql_scan_filter_project(),
+        "distinct_times": sql_distinct_times(),
+        "extent_agg": sql_extent_agg(),
+        "two_date_diff_join": sql_two_date_diff_join(),
+        "point_lookup": sql_point_lookup(),
+        "zooms_rollup": sql_zooms_rollup(),
+        "window_series": sql_window_series(),
+        "topk_orders": sql_topk_orders(),
+        "zonal_group_mean": sql_zonal_group_mean(),
+        "merge_first_wins": sql_merge_first_wins(),
+        "dedup_exact": sql_dedup_exact(),
+        "dedup_minhash_bands": sql_dedup_minhash_bands(),
+        "ngram_jaccard": sql_ngram_jaccard(),
+        "token_stats": sql_token_stats(),
+        "quality_score": sql_quality_score(),
+        "doc_fingerprint": sql_doc_fingerprint(),
+        "lang_stats": sql_lang_stats(),
+        "embedding_knn": sql_embedding_knn(),
+        "embedding_centroids": sql_embedding_centroids(),
+        "embedding_near_dups": sql_embedding_near_dups(),
+        "window_tumbling_counts": sql_window_tumbling_counts(),
+        "sessionize": sql_sessionize(),
+        # minhash_lsh_pairs / simhash_near_pairs / ann_lsh_topk: rows-only
+    }

@@ -1,0 +1,139 @@
+"""Multimodal column operators: images as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, partitioning) is real
+and tested; decoders for container formats whose libraries are not in this
+image (jpeg/webp/mp4/...) are STUBBED behind a clearly-marked
+``NotImplementedError`` — the engine's own payload formats (npy-u16[-z],
+png-u16, jq75; core/kernels.py) decode for real.
+
+Operators:
+- :func:`decode_stats`   decode + per-band statistics (mapInPandas)
+- :func:`thumbnails`     decode -> bilinear resize -> re-encode
+- :func:`verify_phash`   recompute the content hash, compare to the column
+- :func:`frame_sample`   treat a binary blob as N-frame video, sample every
+  k-th frame (deterministic fake decode for foreign fmts)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core import kernels
+
+SUPPORTED_FMTS = {"npy-u16", "npy-u16-z", "jq75", "png-u16"}
+
+
+def _decode(payload: bytes, fmt: str) -> np.ndarray:
+    if fmt in SUPPORTED_FMTS:
+        return kernels.decode_payload(payload)
+    # external container formats: decoder libs not present in this image
+    raise NotImplementedError(
+        f"decoder for fmt={fmt!r} requires an image library not present in "
+        "this environment; plug one into operators.multimodal._decode"
+    )
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Per-image, per-band stats over decoded pixels (data cells only)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = dict(image_id=[], band=[], n_data=[], mean=[], p_min=[], p_max=[])
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.bytes, r.fmt)
+                for b in range(arr.shape[0]):
+                    band = arr[b]
+                    data = band[band != 0]
+                    rows["image_id"].append(r.image_id)
+                    rows["band"].append(b)
+                    rows["n_data"].append(int(data.size))
+                    rows["mean"].append(float(data.mean()) if data.size else None)
+                    rows["p_min"].append(int(data.min()) if data.size else None)
+                    rows["p_max"].append(int(data.max()) if data.size else None)
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="image_id string, band int, n_data long, mean double, p_min int, p_max int",
+    )
+
+
+def thumbnails(images: DataFrame, size: int = 64, out_fmt: str = "npy-u16-z") -> DataFrame:
+    """Decode -> NaN-aware bilinear resize to (size, size) -> re-encode.
+    Caption and id carried through (the multimodal resize op)."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = dict(image_id=[], caption=[], w=[], h=[], fmt=[], thumb=[])
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.bytes, r.fmt)
+                nb, h, w = arr.shape
+                th = kernels.regrid_to_extent(
+                    arr, (0.0, 0.0, float(w), float(h)), (0.0, 0.0, float(w), float(h)),
+                    (size, size),
+                )
+                out["image_id"].append(r.image_id)
+                out["caption"].append(r.caption)
+                out["w"].append(size)
+                out["h"].append(size)
+                out["fmt"].append(out_fmt)
+                out["thumb"].append(kernels.encode_payload(th, out_fmt))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "caption", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="image_id string, caption string, w int, h int, fmt string, thumb binary",
+    )
+
+
+def verify_phash(images: DataFrame) -> DataFrame:
+    """Recompute the content hash (first 8 bytes of sha256(bytes), signed)
+    and compare to the stored phash column — integrity scan."""
+
+    @F.pandas_udf("long")
+    def rehash(payloads: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int.from_bytes(hashlib.sha256(p).digest()[:8], "big", signed=True)
+                for p in payloads
+            ],
+            dtype="int64",
+        )
+
+    return images.select(
+        "image_id",
+        "phash",
+        rehash(F.col("bytes")).alias("recomputed"),
+    ).withColumn("ok", F.col("phash") == F.col("recomputed"))
+
+
+def frame_sample(videos: DataFrame, every_k: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: one input row -> one row per sampled
+    frame.  Real video decode needs codecs absent here, so the decode step
+    is a deterministic fake (frame index + byte-slice hash) — the Spark
+    shapes (explode fan-out, schema, batching) are the real thing."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = dict(image_id=[], frame=[], frame_hash=[])
+            for r in pdf.itertuples(index=False):
+                n_frames = max(1, len(r.bytes) // 4096)
+                for fi in range(0, n_frames, every_k):
+                    chunk = r.bytes[fi * 4096 : (fi + 1) * 4096]
+                    out["image_id"].append(r.image_id)
+                    out["frame"].append(fi)
+                    out["frame_hash"].append(
+                        int.from_bytes(
+                            hashlib.sha256(chunk).digest()[:8], "big", signed=True
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    return videos.select("image_id", "bytes").mapInPandas(
+        fn, schema="image_id string, frame int, frame_hash long"
+    )

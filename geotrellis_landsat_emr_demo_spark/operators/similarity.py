@@ -1,0 +1,164 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+- :func:`cosine_topk`   brute-force exact top-k: JVM-side dot products via
+  ``F.zip_with`` + ``F.aggregate`` (whole-stage codegen, no Python) with a
+  broadcast query side and a window top-k. The correctness baseline.
+- :func:`lsh_topk`      signed-random-projection LSH: deterministic
+  hyperplanes (seed 1337), bucket equi-join, exact re-rank inside buckets,
+  multiprobe over hamming-1 neighbors. The 100-TB scale path: candidate
+  count ~ N / 2^bits per probe instead of N.
+- :func:`pairwise_near_dups` embedding-cosine near-duplicate pairs within
+  a blocking key (label), for dedup pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(
+        out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact brute-force ANN baseline: broadcast queries x all vectors,
+    cosine, row_number <= k. Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    j = q.crossJoin(base)
+    if exclude_self:
+        j = j.filter(F.col("query_id") != F.col("neighbor_id"))
+    j = with_cosine(j, "qvec", "nvec")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _planes(dim: int, bits: int, seed: int = 1337) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """Sign bits of plane projections, folded to one BIGINT bucket —
+    pure column algebra (unrolled over `bits`, still codegen'd)."""
+    expr = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array([F.lit(float(v)) for v in plane])
+        proj = _dot(F.col(vec_col), arr)
+        expr = expr + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return expr
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets + exact re-rank of the
+    bucket-local candidates.  ``multiprobe`` additionally probes all buckets
+    within hamming distance 1 (bits+1 probes) to boost recall.
+
+    At scale: base side shuffles once on bucket; queries broadcast."""
+    planes = _planes(dim, bits)
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _bucket_expr(vec_col, planes).alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            [F.col("qbucket")]
+            + [
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(bits)
+            ]
+        )
+    else:
+        probes = F.array([F.col("qbucket")])
+    q = F.broadcast(q.withColumn("bucket", F.explode(probes)))
+    j = q.join(base, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    j = with_cosine(j, "qvec", "nvec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pairwise_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking column."""
+    x = embeddings.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    y = embeddings.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    j = x.join(y, "block").filter(F.col("id_a") < F.col("id_b"))
+    j = with_cosine(j, "vec_a", "vec_b")
+    return j.filter(F.col("cosine") >= threshold).select(
+        "block", "id_a", "id_b", "cosine"
+    )

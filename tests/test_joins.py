@@ -109,18 +109,24 @@ def test_diff_join_matches_local(spark, tsmall_catalog):
     from test_ingest import oracle_leaf_keys, oracle_tile
 
     tiles = tsmall_catalog.read_spark(spark, "tiles")
-    got = {
-        (r.x, r.y): r.mean_diff
-        for r in joins.diff_join(spark, tiles, "landsat", 13, T1, T2, "ndvi").collect()
-    }
+    rows = joins.diff_join(spark, tiles, "landsat", 13, T1, T2, "ndvi").collect()
+    got = {(r.x, r.y): (r.mean_diff, r.n) for r in rows}
     t1m, t2m = parse_time(T1), parse_time(T2)
     keys1 = {(x, y) for (x, y, t) in oracle_leaf_keys() if t == t1m}
     keys2 = {(x, y) for (x, y, t) in oracle_leaf_keys() if t == t2m}
     both = keys1 & keys2
     assert set(got) == both  # inner-join semantics: both dates must exist
-    x, y = sorted(both)[0]
-    d = K.ndvi(oracle_tile("t-small", x, y, t1m)[0]) - K.ndvi(
-        oracle_tile("t-small", x, y, t2m)[0]
-    )
-    ok = ~np.isnan(d)
-    assert abs(got[(x, y)] - float(d[ok].mean())) < 1e-12
+    checked = 0
+    for (x, y) in sorted(both):
+        d = K.ndvi(oracle_tile("t-small", x, y, t1m)[0]) - K.ndvi(
+            oracle_tile("t-small", x, y, t2m)[0]
+        )
+        ok = ~np.isnan(d)
+        mean, n = got[(x, y)]
+        assert n == int(ok.sum())
+        if ok.any():
+            assert abs(mean - float(d[ok].mean())) < 1e-12
+            checked += 1
+        else:
+            assert mean is None
+    assert checked >= 1  # at least one tile has overlapping data
