@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the image-ingest
+micro-benchmark on the synthetic t-bench corpus, and prints ONE JSON line:
+
+  {"metric": "...", "value": <total-sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "extras": {...}}
+
+Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N) is produced
+by tools/bench_scaling.py, which runs the same ingest at local[8] and
+local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "cell_assign_agg",
+    "pyramid_rollup",
+    "envelope_pip_join",
+    "knn_points",
+    "spacetime_key_agg",
+    "merge_first_wins",
+    "zonal_group_mean",
+    "window_series",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "ngram_jaccard",
+    "quality_score",
+    "embedding_knn",
+    "embedding_near_dups",
+    "window_tumbling_counts",
+    "sessionize",
+    "minhash_lsh_pairs",
+    "ann_lsh_topk",
+]
+
+
+def materialize(df) -> int:
+    """Force full execution without driver collection (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def ingest_bench(spark, scenes: int = 24, px: int = 512) -> dict:
+    """Synthetic image ingest: scenes -> zoom-13 leaves + pyramid to z9.
+    Reports tiles/sec (the BASELINE.json headline metric)."""
+    from geotrellis_landsat_emr_demo_spark import fixtures
+    from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+    from geotrellis_landsat_emr_demo_spark.operators import ingest
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"ingest-{CPUS}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    cat.append_pandas(
+        fixtures.images_pdf("t-bench", n_scenes=scenes, px=px), "images"
+    )
+    t0 = time.time()
+    metrics = ingest.ingest_images(spark, cat, "bench", max_zoom=13, min_zoom=9)
+    wall = time.time() - t0
+    tiles = sum(m.get("rows", 0) for m in metrics.values())
+    shutil.rmtree(root, ignore_errors=True)
+    return dict(tiles=tiles, wall_s=round(wall, 3), tiles_per_sec=round(tiles / wall, 2))
+
+
+def main():
+    os.environ["SPARK_GRAFT_CPUS"] = str(CPUS)
+    from geotrellis_landsat_emr_demo_spark.session import build_session
+
+    import __spark_entry__ as entry
+
+    spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    qs = entry.queries()
+
+    # warm the JVM/Arrow paths once with a trivial action
+    spark.range(1000).count()
+
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    extras = {"ingest": ingest_bench(spark), "cpus": CPUS}
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

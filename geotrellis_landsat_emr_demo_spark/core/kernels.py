@@ -273,34 +273,61 @@ def bilinear_sample(src: np.ndarray, fx: np.ndarray, fy: np.ndarray) -> np.ndarr
     Weights of NaN neighbors are dropped and remaining weights renormalized;
     all-NaN or out-of-bounds -> NaN.  Shared by tileToLayout regrid (A3),
     pyramid (A4) and overzoom serving (F16 / ReaderSet.scala:54-72).
-    """
-    h, w = src.shape
+    Delegates to the multiband hot path."""
+    return bilinear_sample_multi(src[None, :, :], fx, fy)[0]
+
+
+def bilinear_sample_multi(
+    src: np.ndarray, fx: np.ndarray, fy: np.ndarray, pre=None
+) -> np.ndarray:
+    """NaN-aware bilinear sample of a multiband (nb, h, w) float64 raster at
+    fractional pixel coords shared across bands.
+
+    Hot-path formulation: value = sum(w_i * v_i * m_i) / sum(w_i * m_i)
+    with m the data mask — a plain weighted interpolation of (value*mask)
+    over an interpolation of mask, mathematically identical to dropping
+    NaN neighbors and renormalizing, but with no NaN branching in the loop.
+    ``pre`` optionally carries precomputed (vm, m) from
+    :func:`prepare_bilinear_src` so repeated samples of one scene skip the
+    mask build."""
+    nb, h, w = src.shape
+    if pre is None:
+        pre = prepare_bilinear_src(src)
+    vm, m = pre
     x0 = np.floor(fx).astype("i8")
     y0 = np.floor(fy).astype("i8")
     tx = fx - x0
     ty = fy - y0
-    oob = (fx < -0.5) | (fx > w - 0.5) | (fy < -0.5) | (fy > h - 0.5)
-
-    def at(yy, xx):
-        yc = np.clip(yy, 0, h - 1)
-        xc = np.clip(xx, 0, w - 1)
-        return src[yc, xc]
-
-    v00, v01 = at(y0, x0), at(y0, x0 + 1)
-    v10, v11 = at(y0 + 1, x0), at(y0 + 1, x0 + 1)
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
     w00 = (1 - tx) * (1 - ty)
     w01 = tx * (1 - ty)
     w10 = (1 - tx) * ty
     w11 = tx * ty
-    vals = np.stack([v00, v01, v10, v11])
-    wts = np.stack([w00, w01, w10, w11])
-    wts = np.where(np.isnan(vals), 0.0, wts)
-    tot = wts.sum(axis=0)
+    num = w00 * vm[:, y0c, x0c]
+    num += w01 * vm[:, y0c, x1c]
+    num += w10 * vm[:, y1c, x0c]
+    num += w11 * vm[:, y1c, x1c]
+    den = w00 * m[:, y0c, x0c]
+    den += w01 * m[:, y0c, x1c]
+    den += w10 * m[:, y1c, x0c]
+    den += w11 * m[:, y1c, x1c]
     with np.errstate(invalid="ignore", divide="ignore"):
-        out = np.nansum(vals * wts, axis=0) / tot
-    out = np.where(tot <= 0, np.nan, out)
-    out = np.where(oob, np.nan, out)
+        out = num / den
+    out[den <= 0] = np.nan
+    oob = (fx < -0.5) | (fx > w - 0.5) | (fy < -0.5) | (fy > h - 0.5)
+    if oob.any():
+        out[:, oob] = np.nan
     return out
+
+
+def prepare_bilinear_src(src: np.ndarray):
+    """(value*mask, mask) float64 pair for :func:`bilinear_sample_multi`."""
+    m = (~np.isnan(src)).astype("f8")
+    vm = np.where(np.isnan(src), 0.0, src)
+    return vm, m
 
 
 def regrid_to_extent(
@@ -327,10 +354,42 @@ def regrid_to_extent(
     fx = (px - sxmin) / cw - 0.5
     fy = (symax - py) / ch - 0.5
     FX, FY = np.meshgrid(fx, fy)
-    out = np.empty((nb, H, W), dtype="f8")
-    for b in range(nb):
-        out[b] = bilinear_sample(to_double(src_u16[b]), FX, FY)
-    return from_double(out)
+    return from_double(bilinear_sample_multi(to_double(src_u16), FX, FY))
+
+
+def split_to_tiles(
+    src_u16: np.ndarray, src_extent, zoom: int, tile_range, tile_size: int = 256
+):
+    """Regrid a scene onto the aligned tile grid covering it and yield
+    ((col, row), (bands, ts, ts) uint16) fragments.
+
+    The vectorized form of raster split + tileToLayout
+    (LandsatInput.scala:73-75, LandsatIngest.scala:39): decode + data-mask
+    work happens ONCE per scene (prepare_bilinear_src), then each tile is a
+    cache-friendly 256x256 multiband sample.  Output is bitwise-equal to
+    regrid_to_extent(src, src_extent, tile_extent(c, r, zoom)) per tile
+    (oracle parity, tests/test_core.py)."""
+    from . import tiling as _tiling
+
+    c0, r0, c1, r1 = tile_range
+    sxmin, symin, sxmax, symax = src_extent
+    nb, sh, sw = src_u16.shape
+    cw = (sxmax - sxmin) / sw
+    ch = (symax - symin) / sh
+    src = to_double(src_u16)
+    pre = prepare_bilinear_src(src)
+    idx = np.arange(tile_size, dtype="f8") + 0.5
+    for r in range(r0, r1 + 1):
+        for c in range(c0, c1 + 1):
+            dxmin, dymin, dxmax, dymax = _tiling.tile_extent(c, r, zoom)
+            px = dxmin + idx * ((dxmax - dxmin) / tile_size)
+            py = dymax - idx * ((dymax - dymin) / tile_size)
+            fx = (px - sxmin) / cw - 0.5
+            fy = (symax - py) / ch - 0.5
+            FX, FY = np.meshgrid(fx, fy)
+            yield (c, r), from_double(
+                bilinear_sample_multi(src, FX, FY, pre=pre)
+            )
 
 
 def downsample_2x2(child_f8: np.ndarray) -> np.ndarray:

@@ -66,22 +66,18 @@ def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16-z"):
             for row in pdf.itertuples(index=False):
                 arr = kernels.decode_payload(row.bytes)
                 ext = (row.xmin, row.ymin, row.xmax, row.ymax)
-                c0, r0, c1, r1 = tiling.extent_to_tile_range(*ext, zoom)
-                for r in range(r0, r1 + 1):
-                    for c in range(c0, c1 + 1):
-                        dst = tiling.tile_extent(c, r, zoom)
-                        tile = kernels.regrid_to_extent(
-                            arr, ext, dst, (TILE_SIZE, TILE_SIZE)
-                        )
-                        out["x"].append(c)
-                        out["y"].append(r)
-                        out["ts"].append(row.ts)
-                        out["cell_key"].append(int(cellindex.cell_key(zoom, c, r)))
-                        out["image_id"].append(row.image_id)
-                        out["caption"].append(row.caption)
-                        out["frag"].append(
-                            kernels.encode_payload(tile, frag_fmt)
-                        )
+                trange = tiling.extent_to_tile_range(*ext, zoom)
+                # single gather for the whole covering block, sliced per tile
+                for (c, r), tile in kernels.split_to_tiles(
+                    arr, ext, zoom, trange, TILE_SIZE
+                ):
+                    out["x"].append(c)
+                    out["y"].append(r)
+                    out["ts"].append(row.ts)
+                    out["cell_key"].append(int(cellindex.cell_key(zoom, c, r)))
+                    out["image_id"].append(row.image_id)
+                    out["caption"].append(row.caption)
+                    out["frag"].append(kernels.encode_payload(tile, frag_fmt))
             yield pd.DataFrame(out)
 
     return fn

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north_rule: throughput efficiency >= 0.8
+from N to 4N executors).
+
+No real cluster exists in this sandbox, so per BASELINE.md §2 we run the
+IDENTICAL job at two parallelism levels — local[8] vs local[32] — on the
+same input, in separate JVMs, and report throughput at both plus
+eff = throughput(32) / (4 x throughput(8)).
+
+Jobs measured:
+  1. image ingest (scenes -> zoom-13 tiles -> pyramid): tiles/sec
+  2. spatial-join workload (envelope PIP + kNN + zonal group mean over
+     sf0.1): joined rows/sec
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+cpus = int(sys.argv[1])
+os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+from geotrellis_landsat_emr_demo_spark.session import build_session
+from geotrellis_landsat_emr_demo_spark import fixtures
+from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+from geotrellis_landsat_emr_demo_spark.operators import ingest
+import __spark_entry__ as entry
+
+spark = build_session(master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+spark.range(1000).count()  # JVM warmup
+
+# --- job 1: ingest ---
+root = os.path.join({repo!r}, ".bench_data", f"scale-{{cpus}}")
+shutil.rmtree(root, ignore_errors=True)
+cat = Catalog(root)
+cat.append_pandas(fixtures.images_pdf("t-bench", n_scenes={scenes}, px={px}), "images")
+t0 = time.time()
+m = ingest.ingest_images(spark, cat, "bench", max_zoom=13, min_zoom=10)
+ingest_wall = time.time() - t0
+tiles = sum(v.get("rows", 0) for v in m.values())
+shutil.rmtree(root, ignore_errors=True)
+
+# --- job 2: spatial joins over sf0.1 ---
+sf = {sf_dir!r}
+qs = entry.queries()
+rows = 0
+t0 = time.time()
+for name in ("envelope_pip_join", "knn_points", "zonal_group_mean",
+             "spacetime_key_agg", "cell_assign_agg"):
+    rows += qs[name](spark, sf).count()
+join_wall = time.time() - t0
+# row volume processed (the join input side) approximated by events rows x5
+nev = spark.read.parquet(f"{{sf}}/events.parquet").count()
+
+print("RESULT" + json.dumps(dict(
+    cpus=cpus, tiles=tiles, ingest_wall=ingest_wall,
+    tiles_per_sec=tiles/ingest_wall,
+    join_out_rows=rows, join_wall=join_wall,
+    join_rows_per_sec=(nev*5)/join_wall,
+)))
+spark.stop()
+"""
+
+
+def run(cpus: int, scenes: int, px: int, sf_dir: str) -> dict:
+    code = CHILD.format(repo=REPO, scenes=scenes, px=px, sf_dir=sf_dir)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return json.loads(line[6:])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stdout[-3000:]}\n{out.stderr[-3000:]}")
+
+
+def main():
+    scenes = int(os.environ.get("SCALE_SCENES", "48"))
+    px = int(os.environ.get("SCALE_PX", "768"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo = run(8, scenes, px, sf_dir)
+    hi = run(32, scenes, px, sf_dir)
+    eff_ingest = hi["tiles_per_sec"] / (4 * lo["tiles_per_sec"])
+    eff_join = hi["join_rows_per_sec"] / (4 * lo["join_rows_per_sec"])
+    result = dict(
+        ingest=dict(
+            n8=round(lo["tiles_per_sec"], 1),
+            n32=round(hi["tiles_per_sec"], 1),
+            efficiency=round(eff_ingest, 3),
+            tiles=lo["tiles"],
+        ),
+        joins=dict(
+            n8=round(lo["join_rows_per_sec"], 1),
+            n32=round(hi["join_rows_per_sec"], 1),
+            efficiency=round(eff_join, 3),
+        ),
+        config=dict(scenes=scenes, px=px, sf_dir=sf_dir),
+    )
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured scaling evidence
+
+Per BASELINE.md §2: the same job at two parallelism levels (no real
+cluster in this sandbox), `local[8]` vs `local[32]`, identical input.
+`eff = throughput(32) / (4 x throughput(8))`; north_rule target >= 0.8.
+
+## Image ingest ({scenes} scenes @ {px}px -> zoom-13 tiles + pyramid to z10)
+
+| parallelism | tiles | tiles/sec |
+|---|---|---|
+| local[8]  | {lo['tiles']} | {lo['tiles_per_sec']:.1f} |
+| local[32] | {hi['tiles']} | {hi['tiles_per_sec']:.1f} |
+
+**scaling efficiency: {eff_ingest:.3f}**
+
+## Spatial-join workload (PIP + kNN + zonal + spacetime agg + cell assign, sf0.1)
+
+| parallelism | wall s | input rows/sec |
+|---|---|---|
+| local[8]  | {lo['join_wall']:.2f} | {lo['join_rows_per_sec']:.1f} |
+| local[32] | {hi['join_wall']:.2f} | {hi['join_rows_per_sec']:.1f} |
+
+**scaling efficiency: {eff_join:.3f}**
+
+Caveats: local mode shares one JVM/driver; fixed JVM+planning overhead per
+query dampens measured speedup for short queries, so ingest (the long,
+CPU-bound job) is the meaningful scaling probe. On a real 4N-executor
+cluster the same plans shard by partition count ({scenes} scene partitions,
+32+ shuffle partitions) with no single-node memory-bandwidth ceiling.
+"""
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
