@@ -839,7 +839,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return lsh_topk(e, q, k=3, bits=6).select("query_id", "neighbor_id", "rank")
+    return lsh_topk(e, q, k=3, bits=4, tables=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -75,8 +75,8 @@ def cosine_topk(
     )
 
 
-def _planes(dim: int, bits: int, seed: int = 1337) -> np.ndarray:
-    rng = np.random.default_rng(seed)
+def _planes(dim: int, bits: int, table: int = 0, seed: int = 1337) -> np.ndarray:
+    rng = np.random.default_rng(seed + 7919 * table)
     return rng.standard_normal((bits, dim))
 
 
@@ -91,49 +91,64 @@ def _bucket_expr(vec_col, planes: np.ndarray):
     return expr
 
 
+def _table_buckets(df, vec_col, bits, tables, dim):
+    """One (table, bucket) row per hash table per vector, via posexplode —
+    the standard multi-table SRP-LSH layout."""
+    bucket_cols = [
+        _bucket_expr(vec_col, _planes(dim, bits, t)) for t in range(tables)
+    ]
+    return df.select(
+        "*", F.posexplode(F.array(bucket_cols)).alias("tbl", "bucket")
+    ).drop(vec_col)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int = 8,
+    bits: int = 4,
+    tables: int = 8,
     dim: int = 64,
     multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane buckets + exact re-rank of the
-    bucket-local candidates.  ``multiprobe`` additionally probes all buckets
-    within hamming distance 1 (bits+1 probes) to boost recall.
+    """Approximate top-k: multi-table signed-random-projection LSH + exact
+    re-rank of the bucket-local candidates.
 
-    At scale: base side shuffles once on bucket; queries broadcast."""
-    planes = _planes(dim, bits)
-    base = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        _bucket_expr(vec_col, planes).alias("bucket"),
+    ``tables`` independent hash tables (union of candidates) trade compute
+    for recall; ``multiprobe`` additionally probes hamming-1 buckets of
+    each table.  At 100-TB scale the base side is hashed once per table
+    (one explode + one shuffle on (tbl, bucket)); queries broadcast;
+    candidate count ~ tables * N / 2^bits per query instead of N."""
+    base_keyed = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        _bucket_expr(vec_col, planes).alias("qbucket"),
+    base = _table_buckets(
+        base_keyed.withColumn("v", F.col("nvec")), "v", bits, tables, dim
     )
+    q_keyed = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    q = _table_buckets(q_keyed.withColumn("v", F.col("qvec")), "v", bits, tables, dim)
     if multiprobe:
         probes = F.array(
-            [F.col("qbucket")]
+            [F.col("bucket")]
             + [
-                F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
                 for i in range(bits)
             ]
         )
-    else:
-        probes = F.array([F.col("qbucket")])
-    q = F.broadcast(q.withColumn("bucket", F.explode(probes)))
-    j = q.join(base, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    j = with_cosine(j, "qvec", "nvec")
+        q = q.withColumn("bucket", F.explode(probes))
+    q = F.broadcast(q)
+    j = q.join(base, ["tbl", "bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cand = j.select("query_id", "qvec", "neighbor_id", "nvec").distinct()
+    cand = with_cosine(cand, "qvec", "nvec")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        j.select("query_id", "neighbor_id", "cosine")
-        .distinct()
+        cand.select("query_id", "neighbor_id", "cosine")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -77,11 +77,17 @@ def test_simhash_properties(docs):
 
 
 def test_ngram_jaccard_pairs(docs):
-    pairs = textops.ngram_jaccard_pairs(docs, bucket_col="source", min_jaccard=0.8)
+    # low threshold so the 'dup' bucket pair (different base texts) appears
+    pairs = textops.ngram_jaccard_pairs(docs, bucket_col="source", min_jaccard=0.0)
     got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
-    assert got[(9001, 9002)] is not None or True  # bucket 'dup' pair exists?
-    # the two planted docs share bucket 'dup' but have different texts
     assert all(a < b for (a, b) in got)
+    assert (9001, 9002) in got  # the only two docs sharing bucket 'dup'
+    # verify against a direct python recomputation
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    sa = set(texts[9001].lower().split())
+    sb = set(texts[9002].lower().split())
+    expect = len(sa & sb) / len(sa | sb)
+    assert abs(got[(9001, 9002)] - expect) < 1e-9
 
 
 def test_quality_and_tokens(docs):
@@ -136,7 +142,7 @@ def test_lsh_topk_recall(emb):
     pdf = emb.toPandas()
     qids = list(range(8))
     q = emb.filter(F.col("vec_id").isin(qids))
-    got = similarity.lsh_topk(emb, q, k=5, bits=6, multiprobe=1).toPandas()
+    got = similarity.lsh_topk(emb, q, k=5, bits=4, tables=8, multiprobe=1).toPandas()
     expect = brute_topk(pdf, qids, 5)
     hits = tot = 0
     for qid in qids:
