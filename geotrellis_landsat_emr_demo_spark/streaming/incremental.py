@@ -76,10 +76,10 @@ def stream_ingest_files(
     Returns the StreamingQuery; call .processAllAvailable() to drain in
     tests, .stop() to end."""
     schema = (
-        "image_id string, bytes binary, w int, h int, fmt string, "
+        "image_id string, bytes binary, w long, h long, fmt string, "
         "caption string, phash long, ts timestamp, ts_millis long, "
         "xmin double, ymin double, xmax double, ymax double, "
-        "crs string, nbands int, cloud_cover double"
+        "crs string, nbands long, cloud_cover double"
     )
     stream = (
         spark.readStream.schema(schema)

@@ -27,7 +27,7 @@ def test_decode_stats_matches_numpy(images):
     arr = fixtures.scene_array(specs["scene-00000"])[0]
     data = arr[arr != 0]
     assert one.n_data == data.size
-    assert abs(one.mean - float(data.mean())) < 1e-9
+    assert abs(one["mean"] - float(data.mean())) < 1e-9
     assert one.p_min == int(data.min()) and one.p_max == int(data.max())
     assert set(got.band) == {0, 1, 2, 3, 4}
 
