@@ -84,8 +84,13 @@ def main():
     spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qs = entry.queries()
 
-    # warm the JVM/Arrow paths once with a trivial action
-    spark.range(1000).count()
+    # warm the JVM and all python workers once (fork + pandas import);
+    # excluded from timings like a long-lived cluster's startup
+    def _noop(it):
+        for b in it:
+            yield b
+
+    spark.range(CPUS * 4, numPartitions=CPUS * 4).mapInPandas(_noop, "id long").count()
 
     timings = {}
     for name in HEADLINE:

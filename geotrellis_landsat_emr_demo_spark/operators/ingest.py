@@ -56,7 +56,10 @@ _PARTIAL_SCHEMA = (
 )
 
 
-def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16-z"):
+def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16"):
+    # raw fragments: parquet-page zstd compresses at rest and the local
+    # shuffle is disk-bandwidth-cheap; zlib per fragment cost ~40% of the
+    # whole chunk stage (measured)
     """mapInPandas fn: one images batch -> fragment rows for every
     zoom-``zoom`` tile the scene footprint covers."""
 
@@ -131,7 +134,7 @@ def _partial_merge_fn():
                 cell_key=[int(pdf["cell_key"].iloc[0])],
                 image_id=[ids[first]],
                 caption=[pdf["caption"].iloc[first]],
-                frag=[kernels.encode_payload(merged, "npy-u16-z")],
+                frag=[kernels.encode_payload(merged, "npy-u16")],
                 winner=[np.ascontiguousarray(winner).tobytes()],
                 n_frags=[len(ids)],
             )
@@ -271,7 +274,7 @@ def ingest_images(
     images_df: DataFrame | None = None,
     max_zoom: int = MAX_ZOOM,
     min_zoom: int = MIN_ZOOM,
-    store_fmt: str = "npy-u16-z",
+    store_fmt: str = "npy-u16",
     salt_buckets: int = 1,
     chunk_partitions: int | None = None,
     fail_after_stage: str | None = None,

