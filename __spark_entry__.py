@@ -547,7 +547,10 @@ def q_ngram_jaccard(spark, sf_dir):
     """n-gram/token-set Jaccard near-dup pairs within a source bucket
     (engine: operators.textops.ngram_jaccard_pairs)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    # spread the single-partition parquet input so the O(n^2/bucket) pair
+    # work parallelizes (a broadcast self-join would otherwise run 1 task)
+    par = spark.sparkContext.defaultParallelism
+    toks = d.repartition(par, "source").select(
         "doc_id",
         F.col("source"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),

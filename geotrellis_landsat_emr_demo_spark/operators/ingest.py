@@ -257,7 +257,7 @@ def _commit_level(cat: Catalog, df: DataFrame, layer: str, stage: str, zoom: int
         {"tiles": files, "lineage": lin_files},
         markers={stage: dict(rows=rows, bytes=nbytes, wall_s=wall, zoom=zoom)},
     )
-    return rows, nbytes
+    return rows, nbytes, files
 
 
 def read_level(spark: SparkSession, cat: Catalog, layer: str, zoom: int) -> DataFrame:
@@ -293,9 +293,11 @@ def ingest_images(
     leaf_stage = f"ingest:{layer}:z{max_zoom}"
     if not cat.is_committed(leaf_stage):
         t0 = time.time()
+        # round-robin repartition: exact scene balance across tasks (hash
+        # on image_id leaves Poisson skew; scenes are uniform-cost here)
         src = images_df.select(
             "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption"
-        ).repartition(par, "image_id")
+        ).repartition(par)
         frags = src.mapInPandas(_chunk_fn(max_zoom), schema=FRAGMENT_SCHEMA)
         if salt_buckets > 1:
             # two-phase merge: partial within (key, salt), final across salts
@@ -312,27 +314,39 @@ def ingest_images(
             tiles = frags.groupBy("x", "y", "ts").applyInPandas(
                 _merge_fn(layer, max_zoom, store_fmt), schema=TILE_SCHEMA
             )
-        rows, nbytes = _commit_level(cat, tiles, layer, leaf_stage, max_zoom, t0)
+        rows, nbytes, level_files = _commit_level(
+            cat, tiles, layer, leaf_stage, max_zoom, t0
+        )
         metrics[leaf_stage] = dict(rows=rows, bytes=nbytes, wall_s=time.time() - t0)
         if fail_after_stage == leaf_stage:
             raise RuntimeError(f"injected failure after {leaf_stage}")
     else:
         metrics[leaf_stage] = dict(skipped=True, **(cat.marker(leaf_stage) or {}))
+        level_files = None
 
     for zoom in range(max_zoom - 1, min_zoom - 1, -1):
         stage = f"ingest:{layer}:z{zoom}"
         if cat.is_committed(stage):
             metrics[stage] = dict(skipped=True, **(cat.marker(stage) or {}))
+            level_files = None
             continue
         t0 = time.time()
-        child = read_level(spark, cat, layer, zoom + 1)
+        # read just the previous level's committed files when we wrote them
+        # this run; full table scan+filter only on resume
+        child = (
+            spark.read.parquet(*level_files)
+            if level_files
+            else read_level(spark, cat, layer, zoom + 1)
+        )
         parents = (
             child.withColumn("px", (F.col("x") / 2).cast("int"))
             .withColumn("py", (F.col("y") / 2).cast("int"))
             .groupBy("px", "py", "ts")
             .applyInPandas(_parent_fn(layer, zoom, store_fmt), schema=TILE_SCHEMA)
         )
-        rows, nbytes = _commit_level(cat, parents, layer, stage, zoom, t0)
+        rows, nbytes, level_files = _commit_level(
+            cat, parents, layer, stage, zoom, t0
+        )
         metrics[stage] = dict(rows=rows, bytes=nbytes, wall_s=time.time() - t0)
         if fail_after_stage == stage:
             raise RuntimeError(f"injected failure after {stage}")

@@ -14,8 +14,10 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -58,9 +60,12 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         )
     )
+    # small parquet inputs arrive as 1 partition; spread the probe side so
+    # the N*Q cosine work parallelizes instead of running in one task
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-    )
+    ).repartition(par)
     j = q.crossJoin(base)
     if exclude_self:
         j = j.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -92,13 +97,24 @@ def _bucket_expr(vec_col, planes: np.ndarray):
 
 
 def _table_buckets(df, vec_col, bits, tables, dim):
-    """One (table, bucket) row per hash table per vector, via posexplode —
-    the standard multi-table SRP-LSH layout."""
-    bucket_cols = [
-        _bucket_expr(vec_col, _planes(dim, bits, t)) for t in range(tables)
-    ]
+    """One (table, bucket) row per hash table per vector, via posexplode.
+
+    Buckets for ALL tables come from one Arrow-batched numpy matmul
+    (n x dim) @ (dim x tables*bits) — one UDF call per batch instead of
+    tables*bits unrolled column expressions (which bloat codegen)."""
+    all_planes = np.vstack([_planes(dim, bits, t) for t in range(tables)])
+    pows = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        E = np.asarray(vecs.tolist(), dtype="f8")  # (n, dim)
+        signs = (E @ all_planes.T) >= 0  # (n, tables*bits)
+        signs = signs.reshape(len(E), tables, bits)
+        vals = (signs * pows[None, None, :]).sum(axis=2)  # (n, tables)
+        return pd.Series(vals.astype("i8").tolist())
+
     return df.select(
-        "*", F.posexplode(F.array(bucket_cols)).alias("tbl", "bucket")
+        "*", F.posexplode(buckets_udf(F.col(vec_col))).alias("tbl", "bucket")
     ).drop(vec_col)
 
 
@@ -121,9 +137,10 @@ def lsh_topk(
     each table.  At 100-TB scale the base side is hashed once per table
     (one explode + one shuffle on (tbl, bucket)); queries broadcast;
     candidate count ~ tables * N / 2^bits per query instead of N."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     base_keyed = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-    )
+    ).repartition(par)
     base = _table_buckets(
         base_keyed.withColumn("v", F.col("nvec")), "v", bits, tables, dim
     )
@@ -144,13 +161,18 @@ def lsh_topk(
     j = q.join(base, ["tbl", "bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cand = j.select("query_id", "qvec", "neighbor_id", "nvec").distinct()
-    cand = with_cosine(cand, "qvec", "nvec")
+    # cosine per candidate occurrence, then dedupe on the 3 scalar columns
+    # (cheaper than shuffling vector payloads through a distinct)
+    j = with_cosine(j, "qvec", "nvec")
+    cand = (
+        j.groupBy("query_id", "neighbor_id")
+        .agg(F.first("cosine").alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cand.select("query_id", "neighbor_id", "cosine")
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -162,11 +184,12 @@ def pairwise_near_dups(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking column."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     x = embeddings.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
-    )
+    ).repartition(par, "block")
     y = embeddings.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_b"),

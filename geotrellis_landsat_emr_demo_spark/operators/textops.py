@@ -105,7 +105,8 @@ def minhash_signatures(
             out.append(hv.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return docs.select("doc_id", sig_udf(F.col("text")).alias("sig"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par).select("doc_id", sig_udf(F.col("text")).alias("sig"))
 
 
 def lsh_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
@@ -203,7 +204,8 @@ def simhash64(docs: DataFrame) -> DataFrame:
             out[i] = np.int64(val.astype("i8"))
         return pd.Series(out)
 
-    return docs.select("doc_id", sim_udf(F.col("text")).alias("simhash"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par).select("doc_id", sim_udf(F.col("text")).alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -239,7 +241,8 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard for doc pairs within a bucket column (pure
     DataFrame ops: array_intersect / array_union on distinct token arrays)."""
-    toks = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par, bucket_col).select(
         "doc_id",
         F.col(bucket_col).alias("bucket"),
         F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")).alias("toks"),
