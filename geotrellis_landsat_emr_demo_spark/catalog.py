@@ -133,14 +133,21 @@ class Catalog:
         """writeTo(table).append() equivalent: stage + atomic commit."""
         return self.commit({table: self.stage_spark_write(df, table)}, markers)
 
-    def append_pandas(self, pdf, table: str, markers: dict | None = None) -> int:
+    def append_pandas(
+        self, pdf, table: str, markers: dict | None = None, row_group_bytes: int = 32 << 20
+    ) -> int:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
         tbl = coerce_us_timestamps(tbl)
+        # bound row groups to ~row_group_bytes so Spark scans split/parallelize
+        # (one giant row group = one scan task, which serializes wide rows
+        # like image payloads)
+        avg_row = max(1, tbl.nbytes // max(1, tbl.num_rows))
+        rows_per_group = max(1, row_group_bytes // avg_row)
         dst = os.path.join(self.table_dir(table), f"{uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, dst)
+        pq.write_table(tbl, dst, row_group_size=rows_per_group)
         return self.commit({table: [dst]}, markers)
 
     def read_spark(self, spark, table: str):
