@@ -174,3 +174,35 @@ class Catalog:
     def history(self) -> list[int]:
         d = os.path.join(self.root, "_history")
         return sorted(int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json"))
+
+    def rollback(self, snapshot: int) -> int:
+        """Time-travel: atomically restore the manifest of ``snapshot``.
+
+        Data files are immutable and never deleted by rollback (like
+        Iceberg's rollback-to-snapshot), so rolling forward again is
+        possible via a later snapshot's manifest in _history."""
+        path = os.path.join(self.root, "_history", f"{snapshot}.json")
+        if not os.path.exists(path):
+            raise KeyError(f"no snapshot {snapshot}; have {self.history()}")
+        cur = self._read_manifest()
+        hist = os.path.join(self.root, "_history", f"{cur['snapshot']}.json")
+        with open(hist, "w") as f:
+            json.dump(cur, f)
+        with open(path) as f:
+            m = json.load(f)
+        m["snapshot"] = cur["snapshot"] + 1  # snapshots are monotonic
+        self._write_manifest(m)
+        return m["snapshot"]
+
+    def read_at(self, table: str, snapshot: int):
+        """Pruned arrow read of a table AS OF a historical snapshot."""
+        path = os.path.join(self.root, "_history", f"{snapshot}.json")
+        with open(path) as f:
+            m = json.load(f)
+        entry = m["tables"].get(table, {"files": []})
+        import pyarrow.dataset as ds
+
+        files = [os.path.join(self.root, rel) for rel in entry["files"]]
+        if not files:
+            raise FileNotFoundError(f"{table!r} empty at snapshot {snapshot}")
+        return ds.dataset(files, format="parquet").to_table()

@@ -66,3 +66,19 @@ def test_pruned_arrow_read():
     cat.append_pandas(pd.DataFrame({"k": range(100), "v": range(100)}), "t")
     tbl = cat.read_arrow("t", filters=(ds.field("k") == 42), columns=["v"])
     assert tbl.num_rows == 1 and tbl["v"][0].as_py() == 42
+
+
+def test_rollback_and_time_travel():
+    cat = _cat("c5")
+    cat.append_pandas(pd.DataFrame({"a": [1]}), "t")     # snapshot 1
+    cat.append_pandas(pd.DataFrame({"a": [2]}), "t")     # snapshot 2
+    assert sorted(cat.read_pandas("t")["a"]) == [1, 2]
+    # as-of read of snapshot 1
+    assert cat.read_at("t", 1).to_pandas()["a"].tolist() == [1]
+    # rollback to snapshot 1: current view loses row 2, files stay on disk
+    cat.rollback(1)
+    assert cat.read_pandas("t")["a"].tolist() == [1]
+    assert cat.snapshot_id() == 3  # monotonic
+    # roll forward again via the preserved snapshot-2 manifest
+    cat.rollback(2)
+    assert sorted(cat.read_pandas("t")["a"]) == [1, 2]

@@ -244,3 +244,33 @@ def test_png_roundtrip():
     assert (png.decode(png.encode_rgba(rgba)) == rgba).all()
     g16 = rng.integers(0, 65536, size=(20, 20)).astype(np.uint16)
     assert (png.decode(png.encode_gray16(g16)) == g16).all()
+
+
+def test_mask_by_qa():
+    arr = np.ones((5, 4, 4), dtype=np.uint16) * 100
+    arr[3, 1, 1] = 0  # default qa_band=3
+    out = K.mask_by_qa(arr)
+    assert (out[:, 1, 1] == 0).all()
+    assert (out[:, 0, 0] == 100).all()
+
+
+def test_cell_lat_lng_api():
+    # H3-style cell() agrees with map_to_tile via mercator
+    from geotrellis_landsat_emr_demo_spark.core.geom import lnglat_to_mercator
+
+    k = ci.cell(34.2, 136.35, 13)
+    mx, my = lnglat_to_mercator(136.35, 34.2)
+    c, r = tiling.map_to_tile(float(mx), float(my), 13)
+    z, cc, rr = ci.cell_decode(k)
+    assert (int(z), int(cc), int(rr)) == (13, int(c), int(r))
+
+
+def test_haversine_known_distance():
+    # London -> Paris ~ 343-344 km on the sphere
+    d = geom.haversine_m(51.5074, -0.1278, 48.8566, 2.3522)
+    assert 330_000 < float(d) < 355_000
+
+
+def test_day_bucket():
+    assert int(ci.day_bucket(86_400_000)) == 1
+    assert int(ci.day_bucket(86_399_999)) == 0
