@@ -55,11 +55,14 @@ def materialize(df) -> int:
 
 
 def ingest_bench(spark, scenes: int = 24, px: int = 512) -> dict:
-    """Synthetic image ingest: scenes -> zoom-13 leaves + pyramid to z9.
-    Reports tiles/sec (the BASELINE.json headline metric)."""
+    """Synthetic image ingest: scenes -> zoom-13 leaves + pyramid to z9,
+    plus the serving-path probe (the reference's readall micro-benchmark,
+    server/.../Router.scala:237-258): pruned point reads + tile renders.
+    Reports tiles/sec ingest + renders/sec serving."""
     from geotrellis_landsat_emr_demo_spark import fixtures
     from geotrellis_landsat_emr_demo_spark.catalog import Catalog
     from geotrellis_landsat_emr_demo_spark.operators import ingest
+    from geotrellis_landsat_emr_demo_spark.plans.queries import LayerService
 
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"ingest-{CPUS}")
     shutil.rmtree(root, ignore_errors=True)
@@ -71,8 +74,30 @@ def ingest_bench(spark, scenes: int = 24, px: int = 512) -> dict:
     metrics = ingest.ingest_images(spark, cat, "bench", max_zoom=13, min_zoom=9)
     wall = time.time() - t0
     tiles = sum(m.get("rows", 0) for m in metrics.values())
+
+    # serving probe: render every zoom-13 tile once via the no-Spark path
+    svc = LayerService(cat)
+    keys = cat.read_pandas("tiles", columns=["zoom", "x", "y", "ts"])
+    leaf = keys[keys.zoom == 13]
+    t0 = time.time()
+    n = 0
+    for row in leaf.itertuples(index=False):
+        tiso = row.ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        png = svc.render_tile("bench", 13, int(row.x), int(row.y), tiso, "ndvi")
+        assert png
+        n += 1
+    serve_wall = time.time() - t0
+    count = svc.read_all_count("bench")
+
     shutil.rmtree(root, ignore_errors=True)
-    return dict(tiles=tiles, wall_s=round(wall, 3), tiles_per_sec=round(tiles / wall, 2))
+    return dict(
+        tiles=tiles,
+        wall_s=round(wall, 3),
+        tiles_per_sec=round(tiles / wall, 2),
+        renders=n,
+        renders_per_sec=round(n / serve_wall, 2),
+        readall=count,
+    )
 
 
 def main():

@@ -83,9 +83,12 @@ class Catalog:
         for table, files in adds.items():
             entry = m["tables"].setdefault(table, {"files": []})
             for p in files:
+                meta = None
+                if isinstance(p, tuple):  # (path, file-level metadata dict)
+                    p, meta = p
                 rel = os.path.relpath(p, self.root)
                 assert not rel.startswith(".."), f"file outside catalog root: {p}"
-                entry["files"].append(rel)
+                entry["files"].append({"path": rel, "meta": meta} if meta else rel)
         if markers:
             now = time.time()
             for k, v in markers.items():
@@ -107,12 +110,28 @@ class Catalog:
         os.makedirs(d, exist_ok=True)
         return d
 
-    def files(self, table: str) -> list[str]:
+    @staticmethod
+    def _entry_path(e):
+        return e["path"] if isinstance(e, dict) else e
+
+    def files(self, table: str, **meta_filter) -> list[str]:
+        """Paths of a table's data files; ``meta_filter`` prunes on
+        file-level metadata recorded at commit time (e.g. zoom=13) — the
+        manifest-level partition pruning Iceberg does with partition specs."""
         m = self._read_manifest()
         entry = m["tables"].get(table)
         if not entry:
             return []
-        return [os.path.join(self.root, rel) for rel in entry["files"]]
+        out = []
+        for e in entry["files"]:
+            if meta_filter:
+                meta = e.get("meta") if isinstance(e, dict) else None
+                if meta is not None and any(
+                    k in meta and meta[k] != v for k, v in meta_filter.items()
+                ):
+                    continue
+            out.append(os.path.join(self.root, self._entry_path(e)))
+        return out
 
     def stage_spark_write(self, df, table: str) -> list[str]:
         """Write a Spark DataFrame as staged parquet files under the table
@@ -150,23 +169,41 @@ class Catalog:
         pq.write_table(tbl, dst, row_group_size=rows_per_group)
         return self.commit({table: [dst]}, markers)
 
-    def read_spark(self, spark, table: str):
-        files = self.files(table)
+    def read_spark(self, spark, table: str, **meta_filter):
+        files = self.files(table, **meta_filter)
         if not files:
             raise FileNotFoundError(f"table {table!r} is empty/missing")
         return spark.read.parquet(*files)
 
-    def read_arrow(self, table: str, filters=None, columns=None):
-        """Driver-side pruned read (the 'collection reader / no Spark job'
-        fast path, server/.../TileReader.scala:12-21, Router.scala:234-248).
-        Parquet footer min/max stats prune row groups via ``filters``."""
+    def _dataset(self, table: str, **meta_filter):
+        """pyarrow dataset cached per (table, snapshot, meta-filter) — the
+        analog of the reference's per-layer reader TrieMap cache
+        (TileReader.scala:15-19); avoids re-listing files and re-parsing
+        footers on every point read."""
         import pyarrow.dataset as ds
 
-        files = self.files(table)
-        if not files:
-            raise FileNotFoundError(f"table {table!r} is empty/missing")
-        dataset = ds.dataset(files, format="parquet")
-        return dataset.to_table(filter=filters, columns=columns)
+        snap = self.snapshot_id()
+        cached = getattr(self, "_ds_cache", None)
+        if cached is None:
+            cached = self._ds_cache = {}
+        key = (table, snap, tuple(sorted(meta_filter.items())))
+        if key not in cached:
+            files = self.files(table, **meta_filter)
+            if not files:
+                raise FileNotFoundError(f"table {table!r} is empty/missing")
+            for k in [k for k in cached if k[0] == table and k[1] != snap]:
+                del cached[k]  # evict stale snapshots
+            cached[key] = ds.dataset(files, format="parquet")
+        return cached[key]
+
+    def read_arrow(self, table: str, filters=None, columns=None, **meta_filter):
+        """Driver-side pruned read (the 'collection reader / no Spark job'
+        fast path, server/.../TileReader.scala:12-21, Router.scala:234-248).
+        File set pruned by manifest metadata (``meta_filter``); row groups
+        pruned by parquet footer min/max stats via ``filters``."""
+        return self._dataset(table, **meta_filter).to_table(
+            filter=filters, columns=columns
+        )
 
     def read_pandas(self, table: str, filters=None, columns=None):
         return self.read_arrow(table, filters, columns).to_pandas()

@@ -254,15 +254,20 @@ def _commit_level(cat: Catalog, df: DataFrame, layer: str, stage: str, zoom: int
     )
     lin_files.append(lpath)
     cat.commit(
-        {"tiles": files, "lineage": lin_files},
+        # per-file metadata -> manifest-level partition pruning for the
+        # serving point reads (files of other zooms never opened)
+        {"tiles": [(f, {"layer": layer, "zoom": zoom}) for f in files],
+         "lineage": lin_files},
         markers={stage: dict(rows=rows, bytes=nbytes, wall_s=wall, zoom=zoom)},
     )
     return rows, nbytes, files
 
 
 def read_level(spark: SparkSession, cat: Catalog, layer: str, zoom: int) -> DataFrame:
+    # manifest metadata prunes the file set to the level; the filter stays
+    # for files committed without metadata (older snapshots)
     return (
-        cat.read_spark(spark, "tiles")
+        cat.read_spark(spark, "tiles", layer=layer, zoom=zoom)
         .filter((F.col("layer") == layer) & (F.col("zoom") == zoom))
     )
 

@@ -125,7 +125,9 @@ class LayerService:
             & (ds.field("cell_key") == key)
             & (ds.field("ts") == pd.Timestamp(time_millis, unit="ms"))
         )
-        tbl = self.cat.read_arrow("tiles", filters=flt, columns=["tile"])
+        tbl = self.cat.read_arrow(
+            "tiles", filters=flt, columns=["tile"], layer=layer, zoom=int(zoom)
+        )
         if tbl.num_rows == 0:
             return None
         return kernels.decode_payload(tbl["tile"][0].as_py())
@@ -172,9 +174,13 @@ class LayerService:
         )
         if time_millis is not None:
             flt = flt & (ds.field("ts") == pd.Timestamp(time_millis, unit="ms"))
-        return self.cat.read_pandas(
-            "tiles", filters=flt, columns=["x", "y", "ts", "tile"]
-        )
+        return self.cat.read_arrow(
+            "tiles",
+            filters=flt,
+            columns=["x", "y", "ts", "tile"],
+            layer=layer,
+            zoom=int(zoom),
+        ).to_pandas()
 
     def polygonal_mean(
         self,
@@ -247,4 +253,6 @@ class LayerService:
 
         zoom = zoom or self.max_zoom(layer)
         flt = (ds.field("layer") == layer) & (ds.field("zoom") == int(zoom))
-        return self.cat.read_arrow("tiles", filters=flt, columns=["x"]).num_rows
+        return self.cat.read_arrow(
+            "tiles", filters=flt, columns=["x"], layer=layer, zoom=int(zoom)
+        ).num_rows
