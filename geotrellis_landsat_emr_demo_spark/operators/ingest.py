@@ -57,11 +57,12 @@ _PARTIAL_SCHEMA = (
 
 
 def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16"):
-    # raw fragments: parquet-page zstd compresses at rest and the local
-    # shuffle is disk-bandwidth-cheap; zlib per fragment cost ~40% of the
-    # whole chunk stage (measured)
     """mapInPandas fn: one images batch -> fragment rows for every
-    zoom-``zoom`` tile the scene footprint covers."""
+    zoom-``zoom`` tile the scene footprint covers.
+
+    Fragments default to raw npy-u16: shuffle files are lz4-compressed by
+    Spark and parquet pages are zstd-compressed at rest, so per-fragment
+    zlib only added CPU (~40% of the chunk stage, measured)."""
 
     def fn(batches):
         for pdf in batches:
