@@ -29,34 +29,93 @@ def incremental_ingest(
     max_zoom: int = 13,
     store_fmt: str = "npy-u16",
 ) -> dict:
-    """Chunk+merge only images whose image_id is not yet in the ingested
-    lineage; appends new leaf tiles.  Merge-with-existing is handled by
-    re-merging affected keys: new fragments are unioned with existing tiles
-    of the touched keys and re-merged first-wins (idempotent because tile
-    rows carry their winning image_id)."""
+    """Merge-on-read incremental append (Iceberg MOR-style).
+
+    Only images not yet recorded in the layer's ``seen`` marker are new.
+    Every tile key a new scene touches is REBUILT from ALL contributing
+    scenes (old + new) so the newest row for a key is always complete;
+    rows carry a monotonically increasing ``gen``, and
+    :func:`read_incremental_tiles` resolves latest-gen per key at read
+    time.  Old generations stay on disk (time travel) until compaction.
+    """
     images = cat.read_spark(spark, "images")
     marker = f"incremental:{layer}:seen"
-    seen = cat.marker(marker) or {"ids": []}
+    seen = cat.marker(marker) or {"ids": [], "gen": 0}
+    gen = int(seen.get("gen", 0)) + 1
     new = images.filter(~F.col("image_id").isin(seen["ids"])) if seen["ids"] else images
     n_new = new.count()
     if n_new == 0:
         return {"new_images": 0}
     t0 = time.time()
-    frags = new.select(
+    # keys touched by the new scenes (cover cells at max_zoom, pure Catalyst)
+    from ..operators.joins import with_cover_cells
+
+    touched = (
+        with_cover_cells(new.select("image_id", "xmin", "ymin", "xmax", "ymax"), max_zoom)
+        .select("cx", "cy")
+        .distinct()
+    )
+    # all scenes (old + new) contributing to any touched key: envelope join
+    contributors = (
+        with_cover_cells(
+            images.select("image_id", "xmin", "ymin", "xmax", "ymax"), max_zoom
+        )
+        .join(F.broadcast(touched), ["cx", "cy"], "left_semi")
+        .select("image_id")
+        .distinct()
+    )
+    src = images.join(contributors, "image_id", "left_semi").select(
         "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption"
-    ).repartition(spark.sparkContext.defaultParallelism, "image_id").mapInPandas(
+    )
+    frags = src.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
         ing._chunk_fn(max_zoom), schema=ing.FRAGMENT_SCHEMA
+    )
+    # keep only fragments landing on touched keys (a contributor scene may
+    # also cover untouched keys that need no rebuild)
+    frags = frags.join(
+        F.broadcast(touched.withColumnRenamed("cx", "x").withColumnRenamed("cy", "y")),
+        ["x", "y"],
+        "left_semi",
     )
     tiles = frags.groupBy("x", "y", "ts").applyInPandas(
         ing._merge_fn(layer, max_zoom, store_fmt), schema=ing.TILE_SCHEMA
-    )
+    ).withColumn("gen", F.lit(gen))
     files = cat.stage_spark_write(tiles, "tiles_incremental")
     all_ids = [r["image_id"] for r in images.select("image_id").distinct().collect()]
     cat.commit(
-        {"tiles_incremental": files},
-        markers={marker: {"ids": sorted(all_ids)}, f"incremental:{layer}:{len(all_ids)}": {}},
+        {"tiles_incremental": [(f, {"layer": layer, "gen": gen}) for f in files]},
+        markers={
+            marker: {"ids": sorted(all_ids), "gen": gen},
+            f"incremental:{layer}:gen{gen}": {},
+        },
     )
-    return {"new_images": n_new, "wall_s": time.time() - t0}
+    return {"new_images": n_new, "gen": gen, "wall_s": time.time() - t0}
+
+
+def read_incremental_tiles(spark: SparkSession, cat: Catalog, layer: str):
+    """Merge-on-read resolution: latest gen wins per (x, y, ts) key."""
+    from pyspark.sql import Window
+
+    t = cat.read_spark(spark, "tiles_incremental").filter(F.col("layer") == layer)
+    w = Window.partitionBy("x", "y", "ts").orderBy(F.desc("gen"))
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def compact_incremental(spark: SparkSession, cat: Catalog, layer: str) -> int:
+    """Rewrite tiles_incremental to one resolved generation (MOR compaction):
+    reads latest-gen rows, rewrites them as a fresh table state via rollback-
+    safe append to ``tiles_compacted``; returns the row count."""
+    resolved = read_incremental_tiles(spark, cat, layer)
+    files = cat.stage_spark_write(resolved, "tiles_compacted")
+    cat.commit(
+        {"tiles_compacted": [(f, {"layer": layer}) for f in files]},
+        markers={f"compact:{layer}": {}},
+    )
+    return cat.read_arrow("tiles_compacted").num_rows
 
 
 def stream_ingest_files(

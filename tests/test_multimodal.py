@@ -66,7 +66,9 @@ def test_frame_sample_fanout(images):
 # ------------------------------------------------------------- streaming --
 
 
-def test_incremental_ingest_only_processes_new(spark):
+def test_incremental_ingest_merge_on_read(spark, tsmall_catalog):
+    """Two incremental batches (4 + 4 scenes) resolved by latest-gen must
+    equal the one-shot batch ingest of all 8 scenes, tile-for-tile."""
     from geotrellis_landsat_emr_demo_spark.streaming import incremental
 
     root = os.path.join(SCRATCH, "incr")
@@ -75,17 +77,36 @@ def test_incremental_ingest_only_processes_new(spark):
     pdf = fixtures.images_pdf("t-small")
     cat.append_pandas(pdf.iloc[:4], "images")
     m1 = incremental.incremental_ingest(spark, cat, "landsat", max_zoom=13)
-    assert m1["new_images"] == 4
-    n1 = len(cat.read_pandas("tiles_incremental"))
+    assert m1["new_images"] == 4 and m1["gen"] == 1
     # no new images -> no work
     m2 = incremental.incremental_ingest(spark, cat, "landsat", max_zoom=13)
     assert m2["new_images"] == 0
-    # append 4 more -> only those processed
+    # append 4 more -> touched keys rebuilt from ALL contributors (gen 2)
     cat.append_pandas(pdf.iloc[4:], "images")
     m3 = incremental.incremental_ingest(spark, cat, "landsat", max_zoom=13)
-    assert m3["new_images"] == 4
-    n2 = len(cat.read_pandas("tiles_incremental"))
-    assert n2 > n1
+    assert m3["new_images"] == 4 and m3["gen"] == 2
+
+    resolved = (
+        incremental.read_incremental_tiles(spark, cat, "landsat")
+        .toPandas()
+        .sort_values(["x", "y", "ts"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        tsmall_catalog.read_pandas("tiles")
+        .query("zoom == 13")
+        .sort_values(["x", "y", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(resolved) == len(batch)
+    for i in range(len(batch)):
+        assert (
+            K.decode_payload(resolved.tile[i]) == K.decode_payload(batch.tile[i])
+        ).all(), (batch.x[i], batch.y[i])
+        assert resolved.caption[i] == batch.caption[i]
+    # compaction rewrites one resolved generation
+    n = incremental.compact_incremental(spark, cat, "landsat")
+    assert n == len(batch)
 
 
 def test_stream_ingest_files(spark):
