@@ -88,11 +88,14 @@ def _cells_sql(zoom=6):
     """
 
 
-# AOI rectangles for the envelope/PIP join (lng0, lat0, lng1, lat1)
+# AOI rectangles for the envelope/PIP join (lng0, lat0, lng1, lat1).
+# aoi-west starts at -180 so the join is non-empty at every sf (small sf
+# tiers only have user_id 0..14 -> lng -179.5..-165.5); aoi-none sits above
+# the max generatable latitude (79.5) so it always yields zero rows.
 _AOIS = [
-    ("aoi-west", -120.0, -40.0, -60.0, 40.0),
+    ("aoi-west", -180.0, -40.0, -60.0, 40.0),
     ("aoi-east", 20.0, -20.0, 100.0, 60.0),
-    ("aoi-none", 170.0, 75.0, 179.0, 79.0),
+    ("aoi-none", 170.0, 80.6, 179.0, 84.0),
 ]
 _AOI_SQL_VALUES = ", ".join(
     f"('{a}', {x0}, {y0}, {x1}, {y1})" for a, x0, y0, x1, y1 in _AOIS
