@@ -438,38 +438,64 @@ def merge_fragments(fragments, image_ids) -> np.ndarray:
     return out
 
 
+NO_WINNER = np.uint16(0xFFFF)
+
+
 def merge_fragments_ranked(fragments, image_ids):
-    """Commutative/associative merge for the salted two-phase path: returns
-    (merged uint16, winner bytes 'S64' per pixel).  Combining partials with
+    """Commutative/associative merge for the salted two-phase path.
+
+    Returns (merged uint16, winner_idx uint16, ids) where winner_idx[b,y,x]
+    indexes into the sorted ``ids`` list (0xFFFF = no data) — compact
+    provenance (2 bytes/cell vs a string per cell), decoded back to ids
+    only transiently when partials combine.  Combining partials with
     :func:`combine_ranked` yields exactly :func:`merge_fragments`'s output
     regardless of grouping — the skew-salting correctness requirement
-    (north_rule)."""
+    (north_rule).
+
+    Winner is per (band, pixel): merge_fragments fills each band cell
+    independently (a later scene can fill band 1 where an earlier one
+    already supplied band 0)."""
     nb, h, w = fragments[0].shape
+    ids = sorted(str(i) for i in image_ids)
+    rank_of = {iid: r for r, iid in enumerate(ids)}
     merged = np.zeros((nb, h, w), dtype=np.uint16)
-    # winner per band per pixel: merge_fragments fills each band cell
-    # independently (a later scene can fill band 1 where an earlier one
-    # already supplied band 0), so provenance is per (band, pixel).
-    winner = np.full((nb, h, w), b"\xff" * 8, dtype="S64")
+    winner = np.full((nb, h, w), NO_WINNER, dtype=np.uint16)
     for f, iid in zip(fragments, image_ids):
-        key = np.bytes_(str(iid).encode())
+        r = np.uint16(rank_of[str(iid)])
         has = f != NODATA_U16
-        better = has & (key < winner)
-        winner = np.where(better, key, winner)
+        better = has & (r < winner)
+        winner = np.where(better, r, winner)
         merged = np.where(better, f, merged)
-    return merged, winner
+    return merged, winner, ids
+
+
+def _winner_bytes(winner_idx, ids):
+    """idx array -> lexicographically comparable 'S64' array (transient,
+    combine-time only); NO_WINNER maps to the max sentinel."""
+    lut = np.array([s.encode() for s in ids] + [b"\xff" * 8], dtype="S64")
+    idx = np.where(winner_idx == NO_WINNER, len(ids), winner_idx)
+    return lut[idx]
 
 
 def combine_ranked(parts):
-    """Combine [(merged, winner), ...] partials -> (merged, winner)."""
-    merged, winner = parts[0]
+    """Combine [(merged, winner_idx, ids), ...] partials ->
+    (merged, winner_idx, ids) over the union of contributor ids."""
+    all_ids = sorted({i for _, _, ids in parts for i in ids})
+    rank_of = {iid: np.uint16(r) for r, iid in enumerate(all_ids)}
+    merged, widx, ids = parts[0]
     merged = merged.copy()
-    winner = winner.copy()
-    for m, wnr in parts[1:]:
-        has = wnr != np.bytes_(b"\xff" * 8)
-        better = has & (wnr < winner)
-        winner = np.where(better, wnr, winner)
+    winner = _winner_bytes(widx, ids)
+    for m, wi, pids in parts[1:]:
+        wb = _winner_bytes(wi, pids)
+        has = wb != np.bytes_(b"\xff" * 8)
+        better = has & (wb < winner)
+        winner = np.where(better, wb, winner)
         merged = np.where(better, m, merged)
-    return merged, winner
+    out_idx = np.full(merged.shape, NO_WINNER, dtype=np.uint16)
+    lut = {s.encode(): rank_of[s] for s in all_ids}
+    for sb, r in lut.items():
+        out_idx[winner == np.bytes_(sb)] = r
+    return merged, out_idx, all_ids
 
 
 # ------------------------------------------------------------ zonal ops ---

@@ -52,7 +52,8 @@ TILE_SCHEMA = (
 )
 _PARTIAL_SCHEMA = (
     "x int, y int, ts timestamp, cell_key long, image_id string, "
-    "caption string, frag binary, winner binary, n_frags int"
+    "caption string, frag binary, winner binary, winner_ids array<string>, "
+    "n_frags int"
 )
 
 
@@ -125,7 +126,7 @@ def _partial_merge_fn():
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         frags = [kernels.decode_payload(b) for b in pdf["frag"]]
         ids = pdf["image_id"].tolist()
-        merged, winner = kernels.merge_fragments_ranked(frags, ids)
+        merged, winner_idx, sorted_ids = kernels.merge_fragments_ranked(frags, ids)
         first = int(np.argmin(np.asarray(ids, dtype=object)))
         return pd.DataFrame(
             dict(
@@ -136,7 +137,9 @@ def _partial_merge_fn():
                 image_id=[ids[first]],
                 caption=[pdf["caption"].iloc[first]],
                 frag=[kernels.encode_payload(merged, "npy-u16")],
-                winner=[np.ascontiguousarray(winner).tobytes()],
+                # compact provenance: u16 index per cell + the id list
+                winner=[np.ascontiguousarray(winner_idx).tobytes()],
+                winner_ids=[sorted_ids],
                 n_frags=[len(ids)],
             )
         )
@@ -149,11 +152,11 @@ def _final_merge_fn(layer: str, zoom: int, store_fmt: str):
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         parts = []
-        for b, wb in zip(pdf["frag"], pdf["winner"]):
+        for b, wb, wids in zip(pdf["frag"], pdf["winner"], pdf["winner_ids"]):
             m = kernels.decode_payload(b)
-            w = np.frombuffer(wb, dtype="S64").reshape(m.shape)
-            parts.append((m, w))
-        merged, _ = kernels.combine_ranked(parts)
+            w = np.frombuffer(wb, dtype=np.uint16).reshape(m.shape)
+            parts.append((m, w, list(wids)))
+        merged, _, _ = kernels.combine_ranked(parts)
         ids = pdf["image_id"].tolist()
         first = int(np.argmin(np.asarray(ids, dtype=object)))
         ts = pdf["ts"].iloc[0]

@@ -224,8 +224,9 @@ def test_merge_equivalence_salted():
     ]
     ids = [f"scene-{i:05d}" for i in [6, 2, 4, 0, 5, 1, 3]]
     ref = K.merge_fragments(frags, ids)
-    whole, _ = K.merge_fragments_ranked(frags, ids)
+    whole, widx, wids = K.merge_fragments_ranked(frags, ids)
     assert (ref == whole).all()
+    assert widx.dtype == np.uint16  # compact provenance (2 bytes/cell)
     # any partition of fragments into salt groups combines to the same tile
     for cuts in [(2, 5), (1, 3), (3, 6)]:
         a, b = cuts
@@ -234,8 +235,10 @@ def test_merge_equivalence_salted():
             K.merge_fragments_ranked(frags[a:b], ids[a:b]),
             K.merge_fragments_ranked(frags[b:], ids[b:]),
         ]
-        got, _ = K.combine_ranked(parts)
+        got, gidx, gids = K.combine_ranked(parts)
         assert (ref == got).all()
+        # provenance decodes identically to the whole-group run
+        assert (K._winner_bytes(widx, wids) == K._winner_bytes(gidx, gids)).all()
 
 
 def test_png_roundtrip():
