@@ -119,6 +119,60 @@ def _merge_fn(layer: str, zoom: int, store_fmt: str):
     return fn
 
 
+def _chunk_premerge_fn(zoom: int, frag_fmt: str = "npy-u16"):
+    """Map-side-combining chunk: like :func:`_chunk_fn` but fragments that
+    share a (x, y, ts) key WITHIN the task are pre-merged with the ranked
+    commutative merge before the shuffle — the partial-aggregation
+    (combiner) form of the tile merge.  Cuts shuffle rows wherever scenes
+    in one task overlap (hot cells especially).  Singleton fragments skip
+    provenance (winner columns null) to avoid payload overhead."""
+
+    def fn(batches):
+        for pdf in batches:
+            groups: dict = {}
+            for row in pdf.itertuples(index=False):
+                arr = kernels.decode_payload(row.bytes)
+                ext = (row.xmin, row.ymin, row.xmax, row.ymax)
+                trange = tiling.extent_to_tile_range(*ext, zoom)
+                for (c, r), tile in kernels.split_to_tiles(
+                    arr, ext, zoom, trange, TILE_SIZE
+                ):
+                    groups.setdefault((c, r, row.ts), []).append(
+                        (tile, row.image_id, row.caption)
+                    )
+            out = {
+                k: []
+                for k in (
+                    "x", "y", "ts", "cell_key", "image_id", "caption",
+                    "frag", "winner", "winner_ids", "n_frags",
+                )
+            }
+            for (c, r, ts), items in groups.items():
+                if len(items) == 1:
+                    tile, iid, cap = items[0]
+                    winner, wids = None, None
+                else:
+                    tile, widx, wids = kernels.merge_fragments_ranked(
+                        [t for t, _, _ in items], [i for _, i, _ in items]
+                    )
+                    winner = np.ascontiguousarray(widx).tobytes()
+                    first = min(range(len(items)), key=lambda j: items[j][1])
+                    iid, cap = items[first][1], items[first][2]
+                out["x"].append(c)
+                out["y"].append(r)
+                out["ts"].append(ts)
+                out["cell_key"].append(int(cellindex.cell_key(zoom, c, r)))
+                out["image_id"].append(iid)
+                out["caption"].append(cap)
+                out["frag"].append(kernels.encode_payload(tile, frag_fmt))
+                out["winner"].append(winner)
+                out["winner_ids"].append(wids)
+                out["n_frags"].append(len(items))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 def _partial_merge_fn():
     """Salted phase 1: merge fragments within a (key, salt) group using the
     commutative ranked merge; emits one partial fragment + winner map."""
@@ -148,14 +202,24 @@ def _partial_merge_fn():
 
 
 def _final_merge_fn(layer: str, zoom: int, store_fmt: str):
-    """Salted phase 2: combine ranked partials -> final tile row."""
+    """Final phase: combine ranked partials -> one tile row.  Rows without
+    provenance (singleton fragments from the map-side combine) get the
+    trivial winner map (their own id wherever they carry data)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         parts = []
-        for b, wb, wids in zip(pdf["frag"], pdf["winner"], pdf["winner_ids"]):
+        for b, wb, wids, iid in zip(
+            pdf["frag"], pdf["winner"], pdf["winner_ids"], pdf["image_id"]
+        ):
             m = kernels.decode_payload(b)
-            w = np.frombuffer(wb, dtype=np.uint16).reshape(m.shape)
-            parts.append((m, w, list(wids)))
+            if wb is None:
+                w = np.where(
+                    m != kernels.NODATA_U16, np.uint16(0), kernels.NO_WINNER
+                ).astype(np.uint16)
+                parts.append((m, w, [str(iid)]))
+            else:
+                w = np.frombuffer(wb, dtype=np.uint16).reshape(m.shape)
+                parts.append((m, w, list(wids)))
         merged, _, _ = kernels.combine_ranked(parts)
         ids = pdf["image_id"].tolist()
         first = int(np.argmin(np.asarray(ids, dtype=object)))
@@ -307,22 +371,25 @@ def ingest_images(
         src = images_df.select(
             "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption"
         ).repartition(par)
-        frags = src.mapInPandas(_chunk_fn(max_zoom), schema=FRAGMENT_SCHEMA)
         if salt_buckets > 1:
-            # two-phase merge: partial within (key, salt), final across salts
+            # explicit salting: partial within (key, salt), final across
+            # salts — for reduce-side skew beyond what the combiner absorbs
+            frags = src.mapInPandas(_chunk_fn(max_zoom), schema=FRAGMENT_SCHEMA)
             salted = frags.withColumn(
                 "salt", F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets))
             )
             partials = salted.groupBy("x", "y", "ts", "salt").applyInPandas(
                 _partial_merge_fn(), schema=_PARTIAL_SCHEMA
             )
-            tiles = partials.groupBy("x", "y", "ts").applyInPandas(
-                _final_merge_fn(layer, max_zoom, store_fmt), schema=TILE_SCHEMA
-            )
         else:
-            tiles = frags.groupBy("x", "y", "ts").applyInPandas(
-                _merge_fn(layer, max_zoom, store_fmt), schema=TILE_SCHEMA
+            # default: map-side combine inside the chunk task (partial
+            # aggregation), final merge after one shuffle
+            partials = src.mapInPandas(
+                _chunk_premerge_fn(max_zoom), schema=_PARTIAL_SCHEMA
             )
+        tiles = partials.groupBy("x", "y", "ts").applyInPandas(
+            _final_merge_fn(layer, max_zoom, store_fmt), schema=TILE_SCHEMA
+        )
         rows, nbytes, level_files = _commit_level(
             cat, tiles, layer, leaf_stage, max_zoom, t0
         )
