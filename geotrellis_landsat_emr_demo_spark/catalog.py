@@ -233,13 +233,19 @@ class Catalog:
 
     def read_at(self, table: str, snapshot: int):
         """Pruned arrow read of a table AS OF a historical snapshot."""
-        path = os.path.join(self.root, "_history", f"{snapshot}.json")
-        with open(path) as f:
-            m = json.load(f)
+        cur = self._read_manifest()
+        if snapshot == cur["snapshot"]:
+            m = cur  # as-of current == live manifest (not yet archived)
+        else:
+            path = os.path.join(self.root, "_history", f"{snapshot}.json")
+            with open(path) as f:
+                m = json.load(f)
         entry = m["tables"].get(table, {"files": []})
         import pyarrow.dataset as ds
 
-        files = [os.path.join(self.root, rel) for rel in entry["files"]]
+        # entries are either plain relpath strings or {path, meta} dicts
+        # (files committed with file-level metadata, e.g. the tiles table)
+        files = [os.path.join(self.root, self._entry_path(e)) for e in entry["files"]]
         if not files:
             raise FileNotFoundError(f"{table!r} empty at snapshot {snapshot}")
         return ds.dataset(files, format="parquet").to_table()

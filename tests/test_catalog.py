@@ -61,6 +61,24 @@ def test_staged_files_invisible_until_commit():
     assert len(cat.files("t")) == 1
 
 
+def test_read_at_with_file_metadata():
+    # files committed with {path, meta} entries (the tiles-table shape) must
+    # stay time-travel readable — regression for the dict-entry read_at crash
+    cat = _cat("c6")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f1 = os.path.join(cat.table_dir("tiles"), "a.parquet")
+    pq.write_table(pa.table({"v": [1]}), f1)
+    cat.commit({"tiles": [(f1, {"zoom": 13})]})          # snapshot 1
+    f2 = os.path.join(cat.table_dir("tiles"), "b.parquet")
+    pq.write_table(pa.table({"v": [2]}), f2)
+    cat.commit({"tiles": [(f2, {"zoom": 12})]})          # snapshot 2
+    assert cat.read_at("tiles", 1).to_pandas()["v"].tolist() == [1]
+    assert sorted(cat.read_at("tiles", 2).to_pandas()["v"]) == [1, 2]
+    assert cat.files("tiles", zoom=13) == [f1]
+
+
 def test_pruned_arrow_read():
     cat = _cat("c4")
     cat.append_pandas(pd.DataFrame({"k": range(100), "v": range(100)}), "t")
