@@ -346,22 +346,20 @@ def sql_two_date_diff_join():
 
 
 def q_point_lookup(spark, sf_dir):
-    """S7/J2: key-value point reads as a broadcast IN-list lookup."""
+    """S7/J2: key-value point reads as a broadcast IN-list lookup.
+
+    Keys 0..3 exist at every sf tier (orderkeys are dense from 0), so the
+    check is never vacuous."""
     l = _t(spark, sf_dir, "lineitem")
-    keys = [(1, 1), (2, 1), (3, 1), (32, 2), (33, 3)]
-    cond = None
-    for ok, ln in keys:
-        c = (F.col("l_orderkey") == ok) & (F.col("l_linenumber") == ln)
-        cond = c if cond is None else (cond | c)
-    return l.filter(cond).select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
-    )
+    return l.filter(
+        F.col("l_orderkey").isin(0, 1, 2, 3) & (F.col("l_linenumber") <= 4)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
 
 def sql_point_lookup():
     return """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
-        WHERE (l_orderkey, l_linenumber) IN ((1,1),(2,1),(3,1),(32,2),(33,3))
+        WHERE l_orderkey IN (0, 1, 2, 3) AND l_linenumber <= 4
     """
 
 
@@ -547,31 +545,45 @@ def sql_dedup_minhash_bands():
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """n-gram/token-set Jaccard near-dup pairs within a source bucket
-    (engine: operators.textops.ngram_jaccard_pairs)."""
+    """n-gram/token-set Jaccard near-dup pairs within a source bucket via
+    the inverted-index token join — only pairs sharing >= 1 token are ever
+    materialized, so popular buckets stay linear in the index size instead
+    of O(n^2) (engine: operators.textops.ngram_jaccard_pairs)."""
     d = _t(spark, sf_dir, "documents")
-    # spread the single-partition parquet input so the O(n^2/bucket) pair
-    # work parallelizes (a broadcast self-join would otherwise run 1 task)
     par = spark.sparkContext.defaultParallelism
-    toks = d.repartition(par, "source").select(
+    toks = d.repartition(par).select(
         "doc_id",
         F.col("source"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
     )
-    x, y = toks.alias("x"), toks.alias("y")
-    j = x.join(
-        y,
-        (F.col("x.source") == F.col("y.source")) & (F.col("x.doc_id") < F.col("y.doc_id")),
-    ).select(
-        F.col("x.doc_id").alias("doc_a"),
-        F.col("y.doc_id").alias("doc_b"),
-        F.round(
-            F.size(F.array_intersect("x.toks", "y.toks"))
-            / F.size(F.array_union("x.toks", "y.toks")),
-            3,
-        ).alias("jaccard"),
+    sized = toks.select("doc_id", "source", "toks", F.size("toks").alias("n"))
+    inv = sized.select("doc_id", "source", "n", F.explode("toks").alias("tok"))
+    x, y = inv.alias("x"), inv.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
     )
-    return j.filter(F.col("jaccard") >= 0.7)
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 3
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
 
 
 def sql_ngram_jaccard():
@@ -738,8 +750,10 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
+    # threshold 0.3 yields non-empty pair sets at every sf tier (0.5 was
+    # vacuously 0 = 0 on this corpus)
     return (
-        pairwise_near_dups(e, threshold=0.5)
+        pairwise_near_dups(e, threshold=0.3)
         .groupBy("block")
         .agg(F.count("*").alias("n_pairs"))
         .withColumnRenamed("block", "label")
@@ -751,7 +765,7 @@ def sql_embedding_near_dups():
         SELECT x.label AS label, count(*) AS n_pairs
         FROM embeddings x JOIN embeddings y
           ON x.label = y.label AND x.vec_id < y.vec_id
-        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.5
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.3
         GROUP BY x.label
     """
 
@@ -811,36 +825,124 @@ def sql_sessionize():
     """
 
 
-# ------------------------------------------------- rows-only (non-SQL) --
+# ------------------------------- LSH pipelines with generated SQL twins --
+# These were rows-only in round 1; each is now a deterministic formulation
+# whose DuckDB twin recomputes the identical hashes/buckets, so the driver
+# hash-checks the full pipeline (candidates AND verification), not just
+# row counts.
+
+_MH_N, _MH_BANDS, _MH_THR = 8, 4, 0.5
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Real MinHash+LSH near-dup pipeline (vectorized pandas-UDF
-    signatures + banded bucket join) — not cleanly SQL-expressible, driver
-    records rows-only."""
+    """Full MinHash+LSH near-dup pipeline, JVM-only portable formulation:
+    explode distinct word 3-shingles -> per-seed min(md5(seed||shingle))
+    signatures -> banded bucket equi-join -> signature-estimated Jaccard
+    (engine: operators.textops.minhash_portable_pairs; the numpy
+    multiply-shift path minhash_dedup_pairs is the wide-signature variant,
+    pytest-oracled)."""
     from geotrellis_landsat_emr_demo_spark.operators.textops import (
-        minhash_dedup_pairs,
+        minhash_portable_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, n_hashes=16, bands=4, threshold=0.5).select(
-        "doc_a", "doc_b", F.round("est_jaccard", 3).alias("est_jaccard")
+    return minhash_portable_pairs(
+        d, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_THR
     )
+
+
+def sql_minhash_lsh_pairs():
+    n, bands = _MH_N, _MH_BANDS
+    rows = n // bands
+    mins = ", ".join(f"min(md5('s{i}:' || s)) AS h{i}" for i in range(n))
+    bandsel = " UNION ALL ".join(
+        "SELECT doc_id, {t} AS band, {bucket} AS bucket FROM sig".format(
+            t=t,
+            bucket=" || '|' || ".join(f"h{t * rows + j}" for j in range(rows)),
+        )
+        for t in range(bands)
+    )
+    matches = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(n))
+    return f"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, s FROM words, unnest(
+                [array_to_string(ws[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]) AS t(s)
+        ), sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS ({bandsel}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, ({matches}) / {float(n)} AS est_jaccard
+        FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
+        WHERE ({matches}) / {float(n)} >= {_MH_THR}
+    """
+
+
+_SH_MAXHAM, _SH_BLOCKS = 8, 4
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs with prefix blocking (pandas-UDF simhash) —
-    rows-only check."""
+    """SimHash near-dup pairs with 4 x 16-bit block tables (pigeonhole-
+    exact to hamming 3; JVM-only column algebra — engine:
+    operators.textops.simhash_near_pairs)."""
     from geotrellis_landsat_emr_demo_spark.operators.textops import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=16)
+    return simhash_near_pairs(d, max_hamming=_SH_MAXHAM, n_blocks=_SH_BLOCKS)
+
+
+def sql_simhash_near_pairs():
+    # identical bit definition: bit b = bit (b % 4) of hex digit (b // 4)
+    # of md5(word); vote = sum over word occurrences of (2*bit - 1);
+    # signature bit = vote > 0. Blocks are 16-char slices of the bit string.
+    votes = ", ".join(
+        f"sum((((strpos('0123456789abcdef', substr(md5(w), {b // 4 + 1}, 1)) - 1)"
+        f" >> {b % 4}) & 1) * 2 - 1) AS v{b}"
+        for b in range(64)
+    )
+    bitstr = " || ".join(f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(64))
+    width = 64 // _SH_BLOCKS
+    blocksel = " UNION ALL ".join(
+        f"SELECT doc_id, {t} AS tbl, substr(bits, {t * width + 1}, {width}) AS blk, bits FROM sig"
+        for t in range(_SH_BLOCKS)
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ), v AS (SELECT doc_id, {votes} FROM words GROUP BY doc_id),
+        sig AS (SELECT doc_id, {bitstr} AS bits FROM v),
+        blocks AS ({blocksel}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.bits AS bits_a, y.bits AS bits_b
+            FROM blocks x JOIN blocks y
+              ON x.tbl = y.tbl AND x.blk = y.blk AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(hamming(bits_a, bits_b) AS BIGINT) AS hamming
+        FROM cand WHERE hamming(bits_a, bits_b) <= {_SH_MAXHAM}
+    """
+
+
+def _ann_planes_sql_literal(tbl: int, bit: int, bits: int = 4, dim: int = 64):
+    from geotrellis_landsat_emr_demo_spark.operators.similarity import _planes
+
+    plane = _planes(dim, bits, tbl)[bit]
+    return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate ANN via random-hyperplane LSH + exact bucket re-rank —
-    approximate by design, driver records rows-only; recall vs brute force
-    is asserted in tests/test_textops.py."""
+    """Approximate ANN via signed-random-projection LSH (8 tables x 4
+    bits, hamming-1 multiprobe) + exact cosine re-rank of bucket-local
+    candidates (engine: operators.similarity.lsh_topk). The hyperplanes
+    are deterministic (seed 1337), so the DuckDB twin recomputes the same
+    buckets from embedded plane constants."""
     from geotrellis_landsat_emr_demo_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -848,6 +950,85 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, q, k=3, bits=4, tables=8).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+def sql_ann_lsh_topk(bits: int = 4, tables: int = 8):
+    def bucket_expr(t):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(embedding, {_ann_planes_sql_literal(t, b, bits)})"
+            f" >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+
+    bucketsel = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM embeddings"
+        for t in range(tables)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(bits)])
+    return f"""
+        WITH buckets AS ({bucketsel}),
+        qprobes AS (
+            SELECT vec_id, tbl, unnest([{probes}]) AS probe
+            FROM buckets WHERE vec_id < 5
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM qprobes q JOIN buckets b ON q.tbl = b.tbl AND q.probe = b.bucket
+            WHERE q.vec_id != b.vec_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
+                                neighbor_id
+                   ) AS rank
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = query_id
+            JOIN embeddings ne ON ne.vec_id = neighbor_id
+        ) WHERE rank <= 3
+    """
+
+
+def q_embedding_lsh_near_dups(spark, sf_dir):
+    """Corpus-scale near-dup pairs: SRP-LSH bucket candidates + exact
+    cosine verify (engine: operators.similarity.lsh_near_dup_pairs) — the
+    bucketed replacement for the O(n^2/block) blocked variant."""
+    from geotrellis_landsat_emr_demo_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(e, threshold=0.3, bits=4, tables=8).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def sql_embedding_lsh_near_dups(bits: int = 4, tables: int = 8):
+    def bucket_expr(t):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(embedding, {_ann_planes_sql_literal(t, b, bits)})"
+            f" >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+
+    bucketsel = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM embeddings"
+        for t in range(tables)
+    )
+    return f"""
+        WITH buckets AS ({bucketsel}),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM buckets x JOIN buckets y
+              ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        FROM cand JOIN embeddings a ON a.vec_id = id_a
+                  JOIN embeddings b ON b.vec_id = id_b
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """
 
 
 # --------------------------------------------------------------------------
@@ -891,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
     }
 
 
@@ -923,5 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": sql_embedding_near_dups(),
         "window_tumbling_counts": sql_window_tumbling_counts(),
         "sessionize": sql_sessionize(),
-        # minhash_lsh_pairs / simhash_near_pairs / ann_lsh_topk: rows-only
+        "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "simhash_near_pairs": sql_simhash_near_pairs(),
+        "ann_lsh_topk": sql_ann_lsh_topk(),
+        "embedding_lsh_near_dups": sql_embedding_lsh_near_dups(),
     }

@@ -85,17 +85,6 @@ def _planes(dim: int, bits: int, table: int = 0, seed: int = 1337) -> np.ndarray
     return rng.standard_normal((bits, dim))
 
 
-def _bucket_expr(vec_col, planes: np.ndarray):
-    """Sign bits of plane projections, folded to one BIGINT bucket —
-    pure column algebra (unrolled over `bits`, still codegen'd)."""
-    expr = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array([F.lit(float(v)) for v in plane])
-        proj = _dot(F.col(vec_col), arr)
-        expr = expr + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return expr
-
-
 def _table_buckets(df, vec_col, bits, tables, dim):
     """One (table, bucket) row per hash table per vector, via posexplode.
 
@@ -176,6 +165,42 @@ def lsh_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale: SRP-LSH
+    bucket candidates (union over ``tables`` hash tables), exact cosine
+    verify >= threshold.
+
+    This is the 100-TB shape for near-dup detection — candidates come from
+    bucket equi-joins (expected bucket size N / 2^bits), never an all-pairs
+    self-join.  Recall is probabilistic: a pair at angle θ collides in one
+    table with prob (1 - θ/π)^bits; at near-dup thresholds (>= 0.9, θ <=
+    26°) eight 4-bit tables miss < 1%.  :func:`pairwise_near_dups` stays
+    the exact (blocked) baseline.  Returns (id_a, id_b, cosine)."""
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    b = _table_buckets(
+        base.repartition(par).withColumn("v", F.col("vec")), "v", bits, tables, dim
+    )
+    x = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "tbl", "bucket")
+    y = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        x.join(y, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("vec_a").alias("vec_a"), F.first("vec_b").alias("vec_b"))
+    )
+    j = with_cosine(cand, "vec_a", "vec_b")
+    return j.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
 def pairwise_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -183,7 +208,9 @@ def pairwise_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking column."""
+    """Embedding-cosine near-duplicate pairs within a blocking column —
+    exact within each block, O(n^2 / block): correct when block cardinality
+    scales with the corpus; use :func:`lsh_near_dup_pairs` when it doesn't."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     x = embeddings.select(
         F.col(block_col).alias("block"),

@@ -25,8 +25,6 @@ bucket-local only.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -60,14 +58,32 @@ def exact_dedup(docs: DataFrame, key=None) -> DataFrame:
 
 # --------------------------------------------------------------- minhash --
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+
 def _hash_params(n_hashes: int, seed: int = 1337):
-    """Deterministic (a, b) pairs for the universal-hash family
-    h_i(x) = (a_i * x + b_i) mod p."""
+    """Deterministic odd multipliers + offsets for the multiply-shift
+    universal-hash family h_i(x) = (a_i * x + b_i) mod 2^64 (a_i odd)."""
     rng = np.random.default_rng(seed)
-    p = (1 << 61) - 1
-    a = rng.integers(1, p, size=n_hashes, dtype=np.int64)
-    b = rng.integers(0, p, size=n_hashes, dtype=np.int64)
-    return a, b, p
+    a = rng.integers(0, 1 << 63, size=n_hashes).astype(np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=n_hashes).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(words: list[str], k: int) -> np.ndarray:
+    """uint64 hashes of the distinct word k-shingles — all vectorized:
+    word hashes via pandas' C siphash (deterministic across runs/machines),
+    shingles via a rolling odd-multiplier combine (no per-shingle Python)."""
+    if not words:
+        return np.zeros(1, dtype=np.uint64)
+    wh = pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
+    if len(wh) < k:
+        k = len(wh)
+    with np.errstate(over="ignore"):
+        acc = wh[: len(wh) - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _MIX + wh[j : len(wh) - k + 1 + j]
+    return np.unique(acc)
 
 
 def minhash_signatures(
@@ -75,38 +91,125 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<bigint>): MinHash over word k-shingles.
 
-    Shingles are hashed to 64-bit ints (md5-derived, stable across runs and
-    machines), then the n_hashes universal hashes are applied vectorized in
-    numpy per Arrow batch."""
-    a, b, p = _hash_params(n_hashes)
+    The whole hot path is numpy uint64: siphash word hashes, rolling-combine
+    shingle hashes, multiply-shift universal hashes, column-min — no
+    per-shingle Python and no object-dtype math (Arrow batches in/out)."""
+    a, b = _hash_params(n_hashes)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            words = t.lower().split()
-            if len(words) < shingle_k:
-                shingles = [" ".join(words)] if words else [""]
-            else:
-                shingles = [
-                    " ".join(words[i : i + shingle_k])
-                    for i in range(len(words) - shingle_k + 1)
-                ]
-            base = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                    & 0x7FFFFFFFFFFFFFFF
-                    for s in set(shingles)
-                ),
-                dtype=np.int64,
-            )
-            # (n_shingles, 1) x (n_hashes,) -> min over shingles
-            hv = (base[:, None].astype(object) * a[None, :] + b[None, :]) % p
-            out.append(hv.min(axis=0).astype(np.int64).tolist())
+        with np.errstate(over="ignore"):
+            for t in texts:
+                base = _shingle_hashes(t.lower().split(), shingle_k)
+                # (n_shingles, 1) * (n_hashes,) mod 2^64 -> min over shingles
+                hv = base[:, None] * a[None, :] + b[None, :]
+                out.append(hv.min(axis=0).view(np.int64).tolist())
         return pd.Series(out)
 
     par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(par).select("doc_id", sig_udf(F.col("text")).alias("sig"))
+
+
+# ------------------------------------------------ portable (JVM) minhash --
+
+def _shingles_col(text_col, k: int):
+    """Catalyst expression: distinct word k-shingles of lower(text) as
+    array<string> (whole-text fallback when fewer than k words)."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return F.array_distinct(joined)
+
+
+def minhash_portable_signatures(
+    docs: DataFrame, n_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """MinHash computed entirely JVM-side (no Python anywhere): explode the
+    distinct shingles, take per-seed min(md5(seed || shingle)) strings.
+
+    md5 of a seeded string is a pseudo-random permutation of shingle space,
+    so the lexicographic min is a valid MinHash; being plain SQL (md5 +
+    min + group by) the exact same values are computable by any engine —
+    this is the oracle-checkable formulation of the dedup pipeline.
+    Returns (doc_id, h0..h{n-1} string)."""
+    sh = docs.select(
+        "doc_id", F.explode(_shingles_col(F.col("text"), shingle_k)).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_portable_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline on the portable signatures:
+    banded bucket equi-join for candidates, signature-estimated Jaccard
+    verify. One shuffle keyed by (band, bucket); bucket cardinality scales
+    with corpus size so no hot keys. Returns (doc_a, doc_b, est_jaccard)."""
+    assert n_hashes % bands == 0, "n_hashes must divide evenly into bands"
+    rows = n_hashes // bands
+    sigs = minhash_portable_signatures(docs, n_hashes, shingle_k)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.concat_ws(
+                            "|", *[f"h{t * rows + j}" for j in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for t in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig_b"),
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda p, q: (p == q).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(n_hashes)),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
 
 
 def lsh_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
@@ -115,6 +218,10 @@ def lsh_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     Returns candidate pairs (doc_a < doc_b, band). One shuffle on the band
     bucket key; buckets are tiny so the self-join is bucket-local."""
     n = bands
+    # the last band absorbs any remainder so every signature element lands
+    # in exactly one band (floor(size/n) per band would silently drop the
+    # trailing hashes from all bands, losing recall with no warning)
+    width = (F.size("sig") / n).cast("int")
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -122,8 +229,8 @@ def lsh_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(n - 1)),
                 lambda i: F.slice(
                     F.col("sig"),
-                    i * (F.size("sig") / n).cast("int") + 1,
-                    (F.size("sig") / n).cast("int"),
+                    i * width + 1,
+                    F.when(i == n - 1, F.size("sig") - i * width).otherwise(width),
                 ),
             )
         ).alias("band", "chunk"),
@@ -178,59 +285,114 @@ def minhash_dedup_pairs(
 
 # --------------------------------------------------------------- simhash --
 
-def simhash64(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash bigint): 64-bit SimHash over word hashes —
-    bit b of the output is the majority vote of bit b across word hashes."""
-
-    @F.pandas_udf(T.LongType())
-    def sim_udf(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = t.lower().split()
-            if not words:
-                continue
-            hv = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                    for w in words
-                ),
-                dtype=np.uint64,
-            )
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
-            for bpos in np.nonzero(votes > 0)[0]:
-                val |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(val.astype("i8"))
-        return pd.Series(out)
-
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(par).select("doc_id", sim_udf(F.col("text")).alias("simhash"))
+# SimHash bit b (0..63) is derived from hex digit b//4 of md5(word), bit
+# b%4 of that digit — a fixed permutation of md5's first 64 bits, chosen
+# because every SQL engine can extract it with substr + strpos arithmetic
+# (the oracle computes the identical value).
+_HEX = "0123456789abcdef"
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on the top-16
-    bits to avoid the quadratic join (standard prefix blocking)."""
-    sh = simhash64(docs).withColumn(
-        "block", F.shiftrightunsigned("simhash", 48)
+def _simhash_votes(words_df: DataFrame) -> DataFrame:
+    """(doc_id, v0..v63): per-bit majority votes over (doc_id, w) rows.
+    Pure Catalyst: md5 -> hex-digit values -> bit votes -> 64 map-side
+    partial sums (one shuffle on doc_id)."""
+    h = F.md5(F.col("w"))
+    digits = [
+        F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+        for j in range(16)
+    ]
+    wd = words_df.select("doc_id", *digits)
+    votes = [
+        F.sum(
+            F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    return wd.groupBy("doc_id").agg(*votes)
+
+
+def _simhash_full(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, v0..v63) — simhash plus the per-bit votes the
+    block tables are sliced from."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     )
-    x, y = sh.alias("x"), sh.alias("y")
-    return (
+    v = _simhash_votes(words)
+    bit = lambda b: F.when(F.col(f"v{b}") > 0, 1).otherwise(0)  # noqa: E731
+    val = F.lit(0).cast("long")
+    for b in range(63):
+        val = val + bit(b).cast("long") * F.lit(1 << b).cast("long")
+    # bit 63 is the sign bit of the signed long
+    val = val + bit(63).cast("long") * F.lit(-(1 << 63)).cast("long")
+    return v.select("doc_id", val.alias("simhash"), *[F.col(f"v{b}") for b in range(64)])
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash bigint): 64-bit SimHash over word hashes — bit b is
+    the majority vote (strictly positive) of bit b across all word
+    occurrences.  Entirely JVM-side column algebra: no Python UDF."""
+    return _simhash_full(docs).select("doc_id", "simhash")
+
+
+def simhash_blocks(sh: DataFrame, n_blocks: int = 4) -> DataFrame:
+    """Add block0..block{n-1}: 16-bit slices of the simhash, from the vote
+    columns (avoids signed-shift edge cases). Pigeonhole: any pair within
+    hamming <= n_blocks - 1 shares at least one identical block."""
+    width = 64 // n_blocks
+    bit = lambda b: F.when(F.col(f"v{b}") > 0, 1).otherwise(0)  # noqa: E731
+    out = sh
+    for t in range(n_blocks):
+        expr = F.lit(0)
+        for j in range(width):
+            expr = expr + bit(t * width + j) * F.lit(1 << j)
+        out = out.withColumn(f"block{t}", expr.cast("long"))
+    return out
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, n_blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on n_blocks
+    16-bit tables (union of per-block equi-joins — never all-pairs).
+
+    Recall model: exact for hamming <= n_blocks - 1 (pigeonhole: some block
+    must be untouched); above that a pair is found iff its differing bits
+    spare one block — callers wanting guarantees at larger radii raise
+    n_blocks.  Returns (doc_a, doc_b, hamming)."""
+    sh = simhash_blocks(_simhash_full(docs), n_blocks).select(
+        "doc_id", "simhash", *[f"block{t}" for t in range(n_blocks)]
+    )
+    per_block = [
+        sh.select(
+            "doc_id", "simhash", F.col(f"block{t}").alias("blk"), F.lit(t).alias("tbl")
+        )
+        for t in range(n_blocks)
+    ]
+    banded = per_block[0]
+    for p in per_block[1:]:
+        banded = banded.unionByName(p)
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
         x.join(
             y,
-            (F.col("x.block") == F.col("y.block"))
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.blk") == F.col("y.blk"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            "hamming",
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
         )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -239,30 +401,49 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
 def ngram_jaccard_pairs(
     docs: DataFrame, bucket_col: str = "source", min_jaccard: float = 0.5
 ) -> DataFrame:
-    """Exact token-set Jaccard for doc pairs within a bucket column (pure
-    DataFrame ops: array_intersect / array_union on distinct token arrays)."""
+    """Exact token-set Jaccard via an inverted-index token join.
+
+    Instead of the all-pairs self-join within a bucket (O(n^2) per bucket —
+    quadratic on any popular bucket at scale), explode distinct tokens and
+    equi-join on (bucket, token): only pairs sharing >= 1 token are ever
+    materialized, |A ∩ B| falls out of a count, and |A ∪ B| = |A| + |B| −
+    |A ∩ B| from the per-doc set sizes.  Pairs with jaccard 0 share no
+    token, so for any min_jaccard > 0 the result set is identical to the
+    all-pairs formulation.  Shuffle key is (bucket, token); ultra-frequent
+    tokens (stopwords) are the residual skew lever — cap or drop them
+    upstream for web-scale corpora."""
+    assert min_jaccard > 0, "inverted index cannot emit zero-overlap pairs"
     par = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(par, bucket_col).select(
+    toks = docs.repartition(par).select(
         "doc_id",
         F.col(bucket_col).alias("bucket"),
         F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")).alias("toks"),
     )
-    x, y = toks.alias("x"), toks.alias("y")
-    return (
+    sized = toks.select("doc_id", "bucket", "toks", F.size("toks").alias("n"))
+    inv = sized.select("doc_id", "bucket", "n", F.explode("toks").alias("tok"))
+    x, y = inv.alias("x"), inv.alias("y")
+    inter = (
         x.join(
             y,
             (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.tok") == F.col("y.tok"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            (
-                F.size(F.array_intersect("x.toks", "y.toks"))
-                / F.size(F.array_union("x.toks", "y.toks"))
-            ).alias("jaccard"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

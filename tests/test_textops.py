@@ -45,25 +45,74 @@ def test_minhash_lsh_finds_near_dup(docs):
 
 
 def test_minhash_signature_oracle(spark):
-    """Signature equals a direct numpy recomputation for one doc."""
-    import hashlib
-
+    """Signature equals a plain-Python-int recomputation (mod 2^64) of the
+    siphash-word / rolling-shingle / multiply-shift definition."""
     df = spark.createDataFrame(
         pd.DataFrame([dict(doc_id=1, text="a b c d e f")])
     )
     sig = textops.minhash_signatures(df, n_hashes=8, shingle_k=3).collect()[0].sig
-    a, b, p = textops._hash_params(8)
-    shingles = {"a b c", "b c d", "c d e", "d e f"}
-    base = np.array(
-        [
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-            & 0x7FFFFFFFFFFFFFFF
-            for s in shingles
-        ],
-        dtype=np.int64,
+    words = "a b c d e f".split()
+    wh = [int(v) for v in pd.util.hash_array(np.asarray(words, dtype=object))]
+    M, MASK = int(textops._MIX), (1 << 64) - 1
+    shingles = []
+    for i in range(len(words) - 2):
+        h = wh[i]
+        for j in (1, 2):
+            h = (h * M + wh[i + j]) & MASK
+        shingles.append(h)
+    a, b = textops._hash_params(8)
+    expect = [
+        min((s * int(a[i]) + int(b[i])) & MASK for s in set(shingles))
+        for i in range(8)
+    ]
+    expect = [v - (1 << 64) if v >= (1 << 63) else v for v in expect]  # signed
+    assert sig == expect
+
+
+def test_minhash_portable_pipeline_matches_duckdb(spark):
+    """The portable (JVM-only) MinHash+LSH pipeline is bit-identical to a
+    DuckDB recomputation of the same SQL definition — the oracle property
+    the driver gate relies on."""
+    import duckdb
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    got = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 6))
+        for r in textops.minhash_portable_pairs(
+            d, n_hashes=8, bands=4, threshold=0.25
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet') LIMIT 60"
     )
-    expect = ((base[:, None].astype(object) * a[None, :] + b[None, :]) % p).min(axis=0)
-    assert sig == [int(v) for v in expect]
+    mins = ", ".join(f"min(md5('s{i}:' || s)) AS h{i}" for i in range(8))
+    bandsel = " UNION ALL ".join(
+        f"SELECT doc_id, {t} AS band, h{2*t} || '|' || h{2*t+1} AS bucket FROM sig"
+        for t in range(4)
+    )
+    matches = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(8))
+    oracle = con.sql(f"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, s FROM words, unnest(
+                [array_to_string(ws[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]) AS t(s)
+        ), sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS ({bandsel}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, ({matches}) / 8.0 AS est_jaccard
+        FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
+        WHERE ({matches}) / 8.0 >= 0.25
+    """).fetchall()
+    assert got == {(a, b, round(j, 6)) for a, b, j in oracle}
+    assert len(got) > 0
 
 
 def test_simhash_properties(docs):
@@ -78,16 +127,83 @@ def test_simhash_properties(docs):
 
 def test_ngram_jaccard_pairs(docs):
     # low threshold so the 'dup' bucket pair (different base texts) appears
-    pairs = textops.ngram_jaccard_pairs(docs, bucket_col="source", min_jaccard=0.0)
+    pairs = textops.ngram_jaccard_pairs(docs, bucket_col="source", min_jaccard=1e-9)
     got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
     assert all(a < b for (a, b) in got)
-    assert (9001, 9002) in got  # the only two docs sharing bucket 'dup'
-    # verify against a direct python recomputation
+    # verify against a direct python recomputation of the planted pair
     texts = {r.doc_id: r.text for r in docs.collect()}
     sa = set(texts[9001].lower().split())
     sb = set(texts[9002].lower().split())
     expect = len(sa & sb) / len(sa | sb)
+    assert expect > 0  # same corpus vocabulary -> must share tokens
+    assert (9001, 9002) in got  # the only two docs sharing bucket 'dup'
     assert abs(got[(9001, 9002)] - expect) < 1e-9
+    # inverted index == all-pairs formulation at any positive threshold
+    brute = {}
+    rows = docs.select("doc_id", "source", "text").collect()
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1:]:
+            if ra.source != rb.source:
+                continue
+            a, b = sorted((ra.doc_id, rb.doc_id))
+            ta, tb = set(ra.text.lower().split()), set(rb.text.lower().split())
+            j = len(ta & tb) / len(ta | tb)
+            if j >= 0.3:
+                brute[(a, b)] = j
+    got3 = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in textops.ngram_jaccard_pairs(docs, "source", 0.3).collect()
+    }
+    assert got3.keys() == brute.keys()
+    for k in brute:
+        assert abs(got3[k] - brute[k]) < 1e-9
+
+
+def test_simhash_block_recall_guarantee(spark):
+    """4 x 16-bit block tables are EXACT for hamming <= 3 (pigeonhole):
+    near_pairs at max_hamming=3 equals the brute-force pair set."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    # plant near-identical docs (single-word edits -> tiny hamming)
+    base = d.collect()[0].text
+    extra = pd.DataFrame(
+        [
+            dict(doc_id=8000 + i, text=t, lang="en", source="plant", n_chars=len(t))
+            for i, t in enumerate(
+                [base, base + " zz", base.replace(base.split()[0], "qq", 1)]
+            )
+        ]
+    )
+    docs = d.unionByName(spark.createDataFrame(extra))
+    sh = {r.doc_id: r.simhash for r in textops.simhash64(docs).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
+    }
+    assert brute, "fixture must contain at least one planted near pair"
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in textops.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == brute
+
+
+def test_ngram_jaccard_skewed_bucket(spark):
+    """One giant bucket must not blow up the inverted-index join: every doc
+    in one source, pair count stays bounded by shared-token pairs."""
+    rows = [
+        dict(doc_id=i, source="hot", text=f"tok{i} tok{i+1} tok{i+2}", lang="en",
+             n_chars=20)
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = textops.ngram_jaccard_pairs(docs, "source", 0.2).collect()
+    # doc i overlaps only docs i±1 (2 shared) and i±2 (1 shared):
+    # jaccard 2/4=0.5 and 1/5=0.2 -> 199 + 198 pairs
+    assert len(out) == 199 + 198
+    assert all(r.jaccard in (0.5, 0.2) for r in out)
 
 
 def test_quality_and_tokens(docs):
@@ -151,6 +267,25 @@ def test_lsh_topk_recall(emb):
         hits += len(approx & truth)
         tot += len(truth)
     assert hits / tot >= 0.6, f"recall {hits}/{tot}"
+
+
+def test_lsh_near_dup_pairs(emb):
+    """Bucketed near-dup path: planted exact dups are always found (equal
+    vectors share every bucket), and every emitted pair verifies >= thr."""
+    pdf = emb.toPandas()
+    planted = pdf.head(3).copy()
+    planted["vec_id"] = [9101, 9102, 9103]
+    docs = emb.unionByName(emb.sparkSession.createDataFrame(planted))
+    out = similarity.lsh_near_dup_pairs(docs, threshold=0.999).toPandas()
+    got = {(r.id_a, r.id_b) for r in out.itertuples(index=False)}
+    for orig, dup in zip(pdf.head(3).vec_id.tolist(), [9101, 9102, 9103]):
+        assert (min(orig, dup), max(orig, dup)) in got
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype="f8") for r in docs.collect()}
+    for r in out.itertuples(index=False):
+        a, b = vecs[r.id_a], vecs[r.id_b]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r.cosine) < 1e-9 and cos >= 0.999
+        assert r.id_a < r.id_b
 
 
 def test_pairwise_near_dups_blocked(emb):
