@@ -457,6 +457,12 @@ def merge_fragments_ranked(fragments, image_ids):
     already supplied band 0)."""
     nb, h, w = fragments[0].shape
     ids = sorted(str(i) for i in image_ids)
+    # combine_ranked compares winners as raw S64 bytes: that order equals
+    # this sorted-str ranking only for ASCII ids <= 64 bytes (longer ids
+    # would truncate-collide; non-ASCII would flip UTF-8 vs str order and
+    # silently break salted == unsalted merge equivalence)
+    for iid in ids:
+        assert len(iid) <= 64 and iid.isascii(), f"image_id not ASCII<=64B: {iid!r}"
     rank_of = {iid: r for r, iid in enumerate(ids)}
     merged = np.zeros((nb, h, w), dtype=np.uint16)
     winner = np.full((nb, h, w), NO_WINNER, dtype=np.uint16)

@@ -138,17 +138,25 @@ def knn_join(
     points_pdf: pd.DataFrame,
     k: int | None = None,
     zoom: int = 10,
-    max_rounds: int = 12,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """k nearest scenes (by euclidean distance in EPSG:3857 between query
     point and scene footprint center) for each query point.
 
-    Candidate cells expand in doubling Morton k-rings; a query is resolved
-    once its k-th best distance is strictly inside the guaranteed-complete
+    Candidate cells expand in doubling k-rings; a query is resolved once
+    its k-th best distance is strictly inside the guaranteed-complete
     radius (r * cell_span), so results equal brute force (tested).
-    Returns (query_id, image_id, dist_m, rank).
-    """
+
+    Executor-side throughout: ring cells come from Catalyst
+    (explode(sequence(...)) on the broadcast query side), the top-k window
+    runs distributed, and the driver collects ONLY one (have, dmax)
+    bookkeeping row per unresolved query each round — never candidates.
+    The round budget is derived from ``zoom`` so the loop always reaches
+    the world-sized ring (r >= 2^zoom), at which point every remaining
+    query is complete by construction.  Returns (query_id, image_id,
+    dist_m, rank)."""
     span = tiling.tile_span(zoom)
+    n = 1 << zoom
     scene_cells = images_df.select(
         "image_id",
         ((F.col("xmin") + F.col("xmax")) / 2).alias("sx"),
@@ -167,35 +175,40 @@ def knn_join(
     if k is not None:
         pts["k"] = k
     qcol, qrow = tiling.map_to_tile(pts["mx"].values, pts["my"].values, zoom)
-    pts["qcx"], pts["qcy"] = qcol, qrow
+    pts["qcx"], pts["qcy"] = qcol.astype(int), qrow.astype(int)
 
+    # enough doublings to reach the world ring regardless of caller input
+    rounds = max(max_rounds or 0, zoom + 2)
     unresolved = pts
-    results = []
+    kept: list[DataFrame] = []
     r = 1
-    for _ in range(max_rounds):
+    for _ in range(rounds):
         if unresolved.empty:
             break
-        ring_rows = []
-        n = 1 << zoom
-        for row in unresolved.itertuples(index=False):
-            c0, c1 = max(0, row.qcx - r), min(n - 1, row.qcx + r)
-            r0, r1 = max(0, row.qcy - r), min(n - 1, row.qcy + r)
-            cs, rs = np.meshgrid(np.arange(c0, c1 + 1), np.arange(r0, r1 + 1))
-            ring_rows.append(
-                pd.DataFrame(
-                    dict(
-                        query_id=row.query_id,
-                        mx=row.mx,
-                        my=row.my,
-                        k=row.k,
-                        cx=cs.ravel(),
-                        cy=rs.ravel(),
-                    )
-                )
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                unresolved[["query_id", "mx", "my", "k", "qcx", "qcy"]]
             )
-        ring_df = F.broadcast(spark.createDataFrame(pd.concat(ring_rows)))
+        )
+        ring = qdf.withColumn(
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("qcx") - r).cast("int"),
+                    F.least(F.lit(n - 1), F.col("qcx") + r).cast("int"),
+                )
+            ),
+        ).withColumn(
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("qcy") - r).cast("int"),
+                    F.least(F.lit(n - 1), F.col("qcy") + r).cast("int"),
+                )
+            ),
+        )
         cand = (
-            scene_cells.join(ring_df, ["cx", "cy"], "inner")
+            scene_cells.join(ring, ["cx", "cy"], "inner")
             .withColumn(
                 "dist_m",
                 F.sqrt(
@@ -209,35 +222,40 @@ def knn_join(
                 ),
             )
             .filter(F.col("rank") <= F.col("k"))
-            .select("query_id", "image_id", "dist_m", "rank", "k")
+            .select("query_id", "image_id", "dist_m", "rank")
+            .persist()
         )
-        got = cand.toPandas()
-        counts = got.groupby("query_id").agg(n=("rank", "max"), dmax=("dist_m", "max"))
+        # one tiny row per query: the only thing that touches the driver
+        stats = {
+            row["query_id"]: row
+            for row in cand.groupBy("query_id")
+            .agg(F.max("rank").alias("have"), F.max("dist_m").alias("dmax"))
+            .collect()
+        }
+        complete_radius = r * span  # no unscanned cell can hold a closer center
+        world = r >= n  # ring covered the whole grid: everything is final
         done_ids = set()
         for row in unresolved.itertuples(index=False):
-            stats = counts.loc[row.query_id] if row.query_id in counts.index else None
-            have = int(stats["n"]) if stats is not None else 0
-            dk = float(stats["dmax"]) if stats is not None else np.inf
-            complete_radius = r * span  # no unscanned cell can hold a closer center
-            if (have >= row.k and dk < complete_radius) or have >= n_scenes:
+            s = stats.get(row.query_id)
+            have = int(s["have"]) if s else 0
+            dk = float(s["dmax"]) if s else np.inf
+            if world or (have >= row.k and dk < complete_radius) or have >= n_scenes:
                 done_ids.add(row.query_id)
-        results.append(got[got["query_id"].isin(done_ids)])
+        if done_ids:
+            kept.append(cand.filter(F.col("query_id").isin(list(done_ids))))
+        else:
+            cand.unpersist()
         unresolved = unresolved[~unresolved["query_id"].isin(done_ids)]
         r *= 2
-        if r > (1 << zoom):
-            # world-sized ring: everything joined, emit what remains
-            results.append(got[got["query_id"].isin(unresolved["query_id"])])
-            unresolved = unresolved.iloc[0:0]
-            break
     scene_cells.unpersist()
-    out = (
-        pd.concat(results)[["query_id", "image_id", "dist_m", "rank"]]
-        if results
-        else pd.DataFrame(columns=["query_id", "image_id", "dist_m", "rank"])
-    )
-    return spark.createDataFrame(
-        out, schema="query_id string, image_id string, dist_m double, rank int"
-    )
+    if not kept:
+        return spark.createDataFrame(
+            [], schema="query_id string, image_id string, dist_m double, rank int"
+        )
+    out = kept[0]
+    for df in kept[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def zonal_stats(

@@ -31,7 +31,7 @@ def incremental_ingest(
 ) -> dict:
     """Merge-on-read incremental append (Iceberg MOR-style).
 
-    Only images not yet recorded in the layer's ``seen`` marker are new.
+    Only images without a row in the ``scenes_seen`` lineage table are new.
     Every tile key a new scene touches is REBUILT from ALL contributing
     scenes (old + new) so the newest row for a key is always complete;
     rows carry a monotonically increasing ``gen``, and
@@ -40,9 +40,19 @@ def incremental_ingest(
     """
     images = cat.read_spark(spark, "images")
     marker = f"incremental:{layer}:seen"
-    seen = cat.marker(marker) or {"ids": [], "gen": 0}
-    gen = int(seen.get("gen", 0)) + 1
-    new = images.filter(~F.col("image_id").isin(seen["ids"])) if seen["ids"] else images
+    gen = int((cat.marker(marker) or {}).get("gen", 0)) + 1
+    # new-scene detection: left-anti join against the scenes_seen lineage
+    # table — never an in-list of all history (the manifest marker keeps
+    # only the generation counter, so it stays O(1) at 10^12 images)
+    try:
+        seen_ids = (
+            cat.read_spark(spark, "scenes_seen")
+            .filter(F.col("layer") == layer)
+            .select("image_id")
+        )
+        new = images.join(seen_ids, "image_id", "left_anti")
+    except FileNotFoundError:
+        new = images
     n_new = new.count()
     if n_new == 0:
         return {"new_images": 0}
@@ -81,11 +91,19 @@ def incremental_ingest(
         ing._merge_fn(layer, max_zoom, store_fmt), schema=ing.TILE_SCHEMA
     ).withColumn("gen", F.lit(gen))
     files = cat.stage_spark_write(tiles, "tiles_incremental")
-    all_ids = [r["image_id"] for r in images.select("image_id").distinct().collect()]
+    # data + lineage in ONE atomic snapshot: crash before this commit means
+    # the new ids are not marked seen, so the rerun redoes the whole batch
+    # (idempotent — same keys rebuilt, newest gen wins at read)
+    seen_adds = cat.stage_spark_write(
+        new.select(F.lit(layer).alias("layer"), "image_id").distinct(), "scenes_seen"
+    )
     cat.commit(
-        {"tiles_incremental": [(f, {"layer": layer, "gen": gen}) for f in files]},
+        {
+            "tiles_incremental": [(f, {"layer": layer, "gen": gen}) for f in files],
+            "scenes_seen": seen_adds,
+        },
         markers={
-            marker: {"ids": sorted(all_ids), "gen": gen},
+            marker: {"gen": gen},
             f"incremental:{layer}:gen{gen}": {},
         },
     )
