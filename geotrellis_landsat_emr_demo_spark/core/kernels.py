@@ -219,6 +219,23 @@ def mask_by_qa(arr: np.ndarray, qa_band: int = 3) -> np.ndarray:
     return out
 
 
+def render_rgb_8bit(arr: np.ndarray) -> np.ndarray:
+    """Render.image's non-Landsat (Planet Labs, 8-bit) branch
+    (Render.scala:35-49): bands 0/1/2 taken directly (values already
+    0..255), zeroed where the band-3 mask == 0, then the SAME
+    brightness/gamma/contrast adjust chain as the Landsat branch
+    (Render.scala:70-85).  8-bit cells have no NoData sentinel, so every
+    pixel is data (alpha 255)."""
+    m = arr[3] == 0
+    chans = []
+    for b in range(3):
+        v = arr[b].astype("i4")
+        v[m] = 0
+        chans.append(np.clip(_adjust(np.clip(v, 0, 255)), 0, 255).astype(np.uint8))
+    alpha = np.full(arr.shape[1:], 255, dtype=np.uint8)
+    return np.stack(chans + [alpha], axis=-1)
+
+
 # ------------------------------------------------------------ color maps --
 
 def _parse_color_ramp(spec: str):
@@ -357,8 +374,46 @@ def regrid_to_extent(
     return from_double(bilinear_sample_multi(to_double(src_u16), FX, FY))
 
 
+def warp_to_extent(
+    src_u16: np.ndarray,
+    src_extent,
+    src_crs: str,
+    dst_extent_3857,
+    dst_shape=(256, 256),
+) -> np.ndarray:
+    """General reprojection (F13): inverse-mapped bilinear warp of a
+    (bands, h, w) uint16 raster in ``src_crs`` (UTM zone or 3857) onto an
+    EPSG:3857 destination grid.
+
+    Each destination pixel center is mapped 3857 -> lat/lng -> src CRS via
+    the closed forms in core.proj, then bilinear-sampled in the source
+    grid — the reproject-before-tiling of the reference ingest
+    (LandsatInput.scala:72; NoData fills outside the curved scene image).
+    """
+    from . import proj as _proj
+
+    sxmin, symin, sxmax, symax = src_extent
+    dxmin, dymin, dxmax, dymax = dst_extent_3857
+    nb, sh, sw = src_u16.shape
+    H, W = dst_shape
+    cw = (sxmax - sxmin) / sw
+    ch = (symax - symin) / sh
+    px = dxmin + (np.arange(W, dtype="f8") + 0.5) * ((dxmax - dxmin) / W)
+    py = dymax - (np.arange(H, dtype="f8") + 0.5) * ((dymax - dymin) / H)
+    PX, PY = np.meshgrid(px, py)
+    UX, UY = _proj.mercator_to_crs(PX.ravel(), PY.ravel(), src_crs)
+    FX = ((UX - sxmin) / cw - 0.5).reshape(H, W)
+    FY = ((symax - UY) / ch - 0.5).reshape(H, W)
+    return from_double(bilinear_sample_multi(to_double(src_u16), FX, FY))
+
+
 def split_to_tiles(
-    src_u16: np.ndarray, src_extent, zoom: int, tile_range, tile_size: int = 256
+    src_u16: np.ndarray,
+    src_extent,
+    zoom: int,
+    tile_range,
+    tile_size: int = 256,
+    src_crs: str = "EPSG:3857",
 ):
     """Regrid a scene onto the aligned tile grid covering it and yield
     ((col, row), (bands, ts, ts) uint16) fragments.
@@ -368,9 +423,16 @@ def split_to_tiles(
     work happens ONCE per scene (prepare_bilinear_src), then each tile is a
     cache-friendly 256x256 multiband sample.  Output is bitwise-equal to
     regrid_to_extent(src, src_extent, tile_extent(c, r, zoom)) per tile
-    (oracle parity, tests/test_core.py)."""
+    (oracle parity, tests/test_core.py).
+
+    A non-3857 ``src_crs`` (UTM) switches the per-tile sample coordinates
+    to the inverse-mapped projection chain (same math as
+    :func:`warp_to_extent`, bitwise-parity tested); ``src_extent`` is then
+    in source-CRS units while ``tile_range`` addresses the 3857 grid."""
+    from . import proj as _proj
     from . import tiling as _tiling
 
+    native_3857 = str(src_crs).upper() in ("EPSG:3857", "3857")
     c0, r0, c1, r1 = tile_range
     sxmin, symin, sxmax, symax = src_extent
     nb, sh, sw = src_u16.shape
@@ -384,9 +446,15 @@ def split_to_tiles(
             dxmin, dymin, dxmax, dymax = _tiling.tile_extent(c, r, zoom)
             px = dxmin + idx * ((dxmax - dxmin) / tile_size)
             py = dymax - idx * ((dymax - dymin) / tile_size)
-            fx = (px - sxmin) / cw - 0.5
-            fy = (symax - py) / ch - 0.5
-            FX, FY = np.meshgrid(fx, fy)
+            if native_3857:
+                fx = (px - sxmin) / cw - 0.5
+                fy = (symax - py) / ch - 0.5
+                FX, FY = np.meshgrid(fx, fy)
+            else:
+                PX, PY = np.meshgrid(px, py)
+                UX, UY = _proj.mercator_to_crs(PX.ravel(), PY.ravel(), src_crs)
+                FX = ((UX - sxmin) / cw - 0.5).reshape(tile_size, tile_size)
+                FY = ((symax - UY) / ch - 0.5).reshape(tile_size, tile_size)
             yield (c, r), from_double(
                 bilinear_sample_multi(src, FX, FY, pre=pre)
             )

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .. import MAX_ZOOM, MIN_ZOOM, TILE_SIZE
 from ..catalog import Catalog
-from ..core import cellindex, kernels, tiling
+from ..core import cellindex, kernels, proj, tiling
 
 FRAGMENT_SCHEMA = (
     "x int, y int, ts timestamp, cell_key long, image_id string, "
@@ -71,10 +71,14 @@ def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16"):
             for row in pdf.itertuples(index=False):
                 arr = kernels.decode_payload(row.bytes)
                 ext = (row.xmin, row.ymin, row.xmax, row.ymax)
-                trange = tiling.extent_to_tile_range(*ext, zoom)
+                # non-3857 scenes (UTM) are warped during the split — the
+                # covering range comes from the reprojected envelope
+                crs = getattr(row, "crs", "EPSG:3857") or "EPSG:3857"
+                ext_3857 = proj.extent_to_mercator(ext, crs)
+                trange = tiling.extent_to_tile_range(*ext_3857, zoom)
                 # single gather for the whole covering block, sliced per tile
                 for (c, r), tile in kernels.split_to_tiles(
-                    arr, ext, zoom, trange, TILE_SIZE
+                    arr, ext, zoom, trange, TILE_SIZE, src_crs=crs
                 ):
                     out["x"].append(c)
                     out["y"].append(r)
@@ -133,9 +137,11 @@ def _chunk_premerge_fn(zoom: int, frag_fmt: str = "npy-u16"):
             for row in pdf.itertuples(index=False):
                 arr = kernels.decode_payload(row.bytes)
                 ext = (row.xmin, row.ymin, row.xmax, row.ymax)
-                trange = tiling.extent_to_tile_range(*ext, zoom)
+                crs = getattr(row, "crs", "EPSG:3857") or "EPSG:3857"
+                ext_3857 = proj.extent_to_mercator(ext, crs)
+                trange = tiling.extent_to_tile_range(*ext_3857, zoom)
                 for (c, r), tile in kernels.split_to_tiles(
-                    arr, ext, zoom, trange, TILE_SIZE
+                    arr, ext, zoom, trange, TILE_SIZE, src_crs=crs
                 ):
                     groups.setdefault((c, r, row.ts), []).append(
                         (tile, row.image_id, row.caption)
@@ -351,6 +357,7 @@ def ingest_images(
     salt_buckets: int = 1,
     chunk_partitions: int | None = None,
     fail_after_stage: str | None = None,
+    cell_type: str = "uint16",
 ) -> dict:
     """Run the full ingest; resumable (skips stages whose completion marker
     is already committed).  Returns metrics {stage: {rows, wall_s, ...}}.
@@ -369,7 +376,7 @@ def ingest_images(
         # round-robin repartition: exact scene balance across tasks (hash
         # on image_id leaves Poisson skew; scenes are uniform-cost here)
         src = images_df.select(
-            "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption"
+            "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption", "crs"
         ).repartition(par)
         if salt_buckets > 1:
             # explicit salting: partial within (key, salt), final across
@@ -436,12 +443,27 @@ def ingest_images(
             r["ts"]
             for r in images_df.select("ts").distinct().orderBy("ts").collect()
         ]
-        ext = images_df.agg(
+        # per-CRS envelope (a handful of rows), unioned in 3857 on the
+        # driver — raw min/max across mixed CRSes would mix unit systems
+        ext_rows = images_df.groupBy("crs").agg(
             F.min("xmin").alias("xmin"),
             F.min("ymin").alias("ymin"),
             F.max("xmax").alias("xmax"),
             F.max("ymax").alias("ymax"),
-        ).collect()[0]
+        ).collect()
+        envs = [
+            proj.extent_to_mercator(
+                (r["xmin"], r["ymin"], r["xmax"], r["ymax"]),
+                r["crs"] or "EPSG:3857",
+            )
+            for r in ext_rows
+        ]
+        ext = dict(
+            xmin=min(e[0] for e in envs),
+            ymin=min(e[1] for e in envs),
+            xmax=max(e[2] for e in envs),
+            ymax=max(e[3] for e in envs),
+        )
         import json
 
         attrs = pd.DataFrame(
@@ -458,22 +480,21 @@ def ingest_images(
                     layer=layer,
                     zoom=0,
                     name="extent",
-                    json=json.dumps(
-                        dict(
-                            xmin=ext["xmin"],
-                            ymin=ext["ymin"],
-                            xmax=ext["xmax"],
-                            ymax=ext["ymax"],
-                            crs="EPSG:3857",
-                        )
-                    ),
+                    json=json.dumps(dict(**ext, crs="EPSG:3857")),
                 ),
                 dict(
                     layer=layer,
                     zoom=0,
                     name="layout",
                     json=json.dumps(
-                        dict(tile_size=TILE_SIZE, max_zoom=max_zoom, min_zoom=min_zoom)
+                        dict(
+                            tile_size=TILE_SIZE,
+                            max_zoom=max_zoom,
+                            min_zoom=min_zoom,
+                            # render dispatch analog of Render.scala:21's
+                            # cellType == UShortCellType test
+                            cell_type=cell_type,
+                        )
                     ),
                 ),
             ]

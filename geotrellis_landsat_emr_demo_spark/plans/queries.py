@@ -66,6 +66,13 @@ class LayerService:
     def max_zoom(self, layer: str) -> int:
         return int(self._attrs(layer)["layout"]["max_zoom"])
 
+    def is_landsat(self, layer: str) -> bool:
+        """Render-branch dispatch (Render.scala:21 cellType test; the
+        reference's Router.scala:49 name heuristic is the same idea):
+        uint16 layers take the Landsat clamp/normalize chain, 8-bit layers
+        the Planet mask branch."""
+        return self._attrs(layer)["layout"].get("cell_type", "uint16") == "uint16"
+
     def layers(self) -> list[str]:
         pdf = self.cat.read_pandas("layer_attrs", columns=["layer"])
         return sorted(pdf["layer"].unique().tolist())
@@ -88,7 +95,7 @@ class LayerService:
                         [float(lng1), float(lat1)],
                     ],
                     times=[format_time_utc_minus4(t) for t in times],
-                    isLandsat=True,
+                    isLandsat=self.is_landsat(name),
                 )
             )
         return {"layers": out}
@@ -143,7 +150,9 @@ class LayerService:
         if tile is None:
             return None
         if not operation:
-            return png.encode_rgba(kernels.render_rgb(tile))
+            if self.is_landsat(layer):
+                return png.encode_rgba(kernels.render_rgb(tile))
+            return png.encode_rgba(kernels.render_rgb_8bit(tile))
         op = get_op(operation)
         return png.encode_rgba(kernels.classify(op["fn"](tile), op["ramp"]))
 

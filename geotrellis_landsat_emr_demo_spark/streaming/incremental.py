@@ -75,7 +75,7 @@ def incremental_ingest(
         .distinct()
     )
     src = images.join(contributors, "image_id", "left_semi").select(
-        "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption"
+        "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption", "crs"
     )
     frags = src.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
         ing._chunk_fn(max_zoom), schema=ing.FRAGMENT_SCHEMA
@@ -169,7 +169,7 @@ def stream_ingest_files(
         if cat.is_committed(marker):  # replayed batch after restart
             return
         frags = df.select(
-            "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption"
+            "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption", "crs"
         ).mapInPandas(ing._chunk_fn(max_zoom), schema=ing.FRAGMENT_SCHEMA)
         tiles = frags.groupBy("x", "y", "ts").applyInPandas(
             ing._merge_fn(layer, max_zoom, store_fmt), schema=ing.TILE_SCHEMA

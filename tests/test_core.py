@@ -179,6 +179,37 @@ def test_render_chain_values():
     assert adj[0, 3] == -1  # NoData passthrough
 
 
+def test_render_8bit_branch_golden():
+    """Non-Landsat (Planet) branch, Render.scala:35-49 + adjust chain:
+    band-3 mask zeroes rgb, then brightness/gamma/contrast — checked
+    against an independent per-pixel Python recomputation of the Scala
+    formulas."""
+    import math
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(4, 8, 8)).astype(np.uint16)
+    arr[3, :2, :2] = 0  # masked corner
+    got = K.render_rgb_8bit(arr)
+
+    def scala_adjust(v):
+        # Render.scala:52-80 with Int truncation semantics
+        if v > 0:
+            v = v + 15
+        v = min(max(v, 0), 255)
+        v = int(255 * math.pow(v / 255.0, 1 / 0.8))
+        v = min(max(v, 0), 255)
+        factor = (259 * (30.0 + 255)) / (255 * (259 - 30.0))
+        v = int(factor * (v - 128) + 128)
+        return min(max(v, 0), 255)
+
+    for y in range(8):
+        for x in range(8):
+            for b in range(3):
+                z = 0 if arr[3, y, x] == 0 else int(arr[b, y, x])
+                assert got[y, x, b] == scala_adjust(z), (y, x, b)
+            assert got[y, x, 3] == 255  # 8-bit cells have no NoData
+
+
 def test_classify_break_semantics():
     # value <= break picks that break's color; above last break transparent
     vals = np.array([0.04, 0.05, 0.051, 0.95, 1.5, np.nan])
