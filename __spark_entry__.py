@@ -990,6 +990,60 @@ def sql_ann_lsh_topk(bits: int = 4, tables: int = 8):
     """
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN: corpus hashed once into 16 inverted lists (nearest unit
+    centroid), queries probe their 4 nearest lists, exact cosine re-rank
+    (engine: operators.similarity.ivf_topk). Centroids are seeded
+    constants, so the DuckDB twin recomputes identical list assignments."""
+    from geotrellis_landsat_emr_demo_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(e, q, k=3, n_centroids=16, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def sql_embedding_ivf_topk(n_centroids: int = 16, nprobe: int = 4):
+    from geotrellis_landsat_emr_demo_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(n_centroids, 64)
+    dots = " UNION ALL ".join(
+        "SELECT vec_id, {c} AS c, list_dot_product(embedding::DOUBLE[], [{v}]) AS dot"
+        " FROM embeddings".format(
+            c=c, v=", ".join(repr(float(x)) for x in cents[c])
+        )
+        for c in range(n_centroids)
+    )
+    return f"""
+        WITH cdots AS ({dots}),
+        ranked AS (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+            FROM cdots
+        ),
+        base AS (SELECT vec_id AS neighbor_id, c AS cell FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, c AS cell FROM ranked
+                   WHERE rn <= {nprobe} AND vec_id < 5),
+        cand AS (
+            SELECT DISTINCT query_id, neighbor_id
+            FROM probes q JOIN base b ON q.cell = b.cell
+            WHERE query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
+                                neighbor_id
+                   ) AS rank
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = query_id
+            JOIN embeddings ne ON ne.vec_id = neighbor_id
+        ) WHERE rank <= 3
+    """
+
+
 def q_embedding_lsh_near_dups(spark, sf_dir):
     """Corpus-scale near-dup pairs: SRP-LSH bucket candidates + exact
     cosine verify (engine: operators.similarity.lsh_near_dup_pairs) — the
@@ -1073,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
 
@@ -1109,4 +1164,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "embedding_lsh_near_dups": sql_embedding_lsh_near_dups(),
+        "embedding_ivf_topk": sql_embedding_ivf_topk(),
     }

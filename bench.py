@@ -45,6 +45,8 @@ HEADLINE = [
     "sessionize",
     "minhash_lsh_pairs",
     "ann_lsh_topk",
+    "simhash_near_pairs",
+    "embedding_lsh_near_dups",
 ]
 
 

@@ -250,6 +250,54 @@ def _final_merge_fn(layer: str, zoom: int, store_fmt: str):
     return fn
 
 
+def _merge_partials(
+    partials: DataFrame,
+    layer: str,
+    zoom: int,
+    store_fmt: str,
+    frag_fmt: str = "npy-u16",
+) -> DataFrame:
+    """Final merge with a JVM-only singleton bypass.
+
+    Keys whose shuffled group is a SINGLE partial row need no pixel math:
+    the tile payload IS the fragment payload (combine_ranked of one part is
+    the identity; encode(decode(x)) == x for matching formats).  Those rows
+    — the non-overlapping majority of a typical corpus — are mapped to
+    TILE_SCHEMA with pure column expressions: no Arrow transfer, no Python
+    worker, no decode/encode.  Only multi-partial keys pay the
+    applyInPandas combine.  The window count and the groupBy hash-partition
+    on the same keys, so the exchange is planned once and reused."""
+    from pyspark.sql import Window as _W
+
+    if store_fmt != frag_fmt:
+        return partials.groupBy("x", "y", "ts").applyInPandas(
+            _final_merge_fn(layer, zoom, store_fmt), schema=TILE_SCHEMA
+        )
+    counted = partials.withColumn(
+        "_n", F.count("*").over(_W.partitionBy("x", "y", "ts"))
+    )
+    singles = counted.filter(F.col("_n") == 1).select(
+        F.lit(layer).alias("layer"),
+        F.lit(zoom).alias("zoom"),
+        "x",
+        "y",
+        "cell_key",
+        F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long").alias(
+            "time_key"
+        ),
+        "ts",
+        F.col("frag").alias("tile"),
+        "caption",
+        "image_id",
+        "n_frags",
+    )
+    multis = counted.filter(F.col("_n") > 1).drop("_n")
+    merged = multis.groupBy("x", "y", "ts").applyInPandas(
+        _final_merge_fn(layer, zoom, store_fmt), schema=TILE_SCHEMA
+    )
+    return singles.unionByName(merged)
+
+
 def _parent_fn(layer: str, zoom: int, store_fmt: str):
     """applyInPandas fn for groupBy(parent x, y, ts): assemble the 2x2
     children into the z-1 parent (Pyramid.upLevels, LandsatIngest.scala:42)."""
@@ -394,9 +442,7 @@ def ingest_images(
             partials = src.mapInPandas(
                 _chunk_premerge_fn(max_zoom), schema=_PARTIAL_SCHEMA
             )
-        tiles = partials.groupBy("x", "y", "ts").applyInPandas(
-            _final_merge_fn(layer, max_zoom, store_fmt), schema=TILE_SCHEMA
-        )
+        tiles = _merge_partials(partials, layer, max_zoom, store_fmt)
         rows, nbytes, level_files = _commit_level(
             cat, tiles, layer, leaf_stage, max_zoom, t0
         )

@@ -165,6 +165,77 @@ def lsh_topk(
     )
 
 
+def _ivf_centroids(n_centroids: int, dim: int, seed: int = 4242) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids.  Random unit
+    vectors are a legitimate (data-independent) IVF quantizer; being
+    seeded constants they can be embedded verbatim in an oracle SQL."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _ivf_cells(df, vec_col, cents: np.ndarray, nprobe: int, out: str = "cell"):
+    """posexplode the top-``nprobe`` centroid cells per vector (by dot
+    product with the unit centroids == cosine order), via one Arrow-batched
+    matmul per batch."""
+    C = cents
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_udf(vecs: pd.Series) -> pd.Series:
+        E = np.asarray(vecs.tolist(), dtype="f8")  # (n, dim)
+        dots = E @ C.T  # (n, n_centroids)
+        # ties broken toward the lower centroid id (stable argsort on -dot)
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(order.astype("i4").tolist())
+
+    return df.select(
+        "*", F.explode(cells_udf(F.col(vec_col))).alias(out)
+    ).drop(vec_col)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists (each vector -> its nearest centroid),
+    probe the query's ``nprobe`` nearest lists, exact cosine re-rank.
+
+    The 100-TB shape: the corpus is hashed once into lists (one narrow
+    shuffle on cell), candidates per query ~ nprobe * N / n_centroids
+    instead of N; queries broadcast.  Returns (query_id, neighbor_id,
+    cosine, rank)."""
+    cents = _ivf_centroids(n_centroids, dim)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    base_keyed = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    ).repartition(par)
+    base = _ivf_cells(
+        base_keyed.withColumn("v", F.col("nvec")), "v", cents, nprobe=1
+    )
+    q_keyed = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    q = F.broadcast(
+        _ivf_cells(q_keyed.withColumn("v", F.col("qvec")), "v", cents, nprobe)
+    )
+    j = q.join(base, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    j = with_cosine(j, "qvec", "nvec")
+    cand = j.groupBy("query_id", "neighbor_id").agg(F.first("cosine").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -44,11 +44,17 @@ def format_time_utc_minus4(millis: int) -> str:
 
 
 class LayerService:
-    def __init__(self, cat: Catalog, spark=None):
+    def __init__(self, cat: Catalog, spark=None, tile_cache_size: int = 256):
         self.cat = cat
         self.spark = spark
         self._meta_cache: dict = {}  # the TrieMap reader cache analog
         # (TileReader.scala:15-19)
+        # decoded-tile LRU — the local-cache analog of the reference's
+        # downloaded-GeoTIFF cache (S3: LandsatInput fetches to local disk
+        # once, re-reads for free); repeat point reads of a hot tile skip
+        # the parquet scan AND the payload decode
+        self._tile_cache: dict = {}
+        self._tile_cache_size = tile_cache_size
 
     # ------------------------------------------------------------ metadata
 
@@ -125,6 +131,9 @@ class LayerService:
     def _point_read(self, layer, zoom, x, y, time_millis):
         import pyarrow.dataset as ds
 
+        ckey = (self.cat.snapshot_id(), layer, zoom, x, y, time_millis)
+        if ckey in self._tile_cache:
+            return self._tile_cache[ckey]  # hot-tile fast path (S3 analog)
         key = int(cellindex.cell_key(zoom, x, y))
         flt = (
             (ds.field("layer") == layer)
@@ -135,9 +144,15 @@ class LayerService:
         tbl = self.cat.read_arrow(
             "tiles", filters=flt, columns=["tile"], layer=layer, zoom=int(zoom)
         )
-        if tbl.num_rows == 0:
-            return None
-        return kernels.decode_payload(tbl["tile"][0].as_py())
+        out = (
+            None
+            if tbl.num_rows == 0
+            else kernels.decode_payload(tbl["tile"][0].as_py())
+        )
+        if len(self._tile_cache) >= self._tile_cache_size:
+            self._tile_cache.pop(next(iter(self._tile_cache)))  # FIFO evict
+        self._tile_cache[ckey] = out
+        return out
 
     # ------------------------------------------------------------- renders
 
@@ -265,3 +280,35 @@ class LayerService:
         return self.cat.read_arrow(
             "tiles", filters=flt, columns=["x"], layer=layer, zoom=int(zoom)
         ).num_rows
+
+    def read_all_bench(self, layer: str, zoom: int, reps: int = 20) -> list[dict]:
+        """The full readall probe (Router.scala:224-264): per repetition,
+        time BOTH the distributed count (Spark job over the pruned layer
+        scan — the reference's layerReader RDD path) and the collection
+        read (driver arrow scan, no job — layerCReader).  Needs the
+        service's optional SparkSession for the job path; falls back to
+        collection-only when serving Spark-free."""
+        import time as _time
+
+        from pyspark.sql import functions as _F  # noqa: F401
+
+        out = []
+        for i in range(1, reps + 1):
+            row: dict = {"n": str(i)}
+            if self.spark is not None:
+                t0 = _time.time()
+                files = self.cat.files("tiles", layer=layer, zoom=int(zoom))
+                cnt = (
+                    self.spark.read.parquet(*files)
+                    .filter(
+                        (_F.col("layer") == layer) & (_F.col("zoom") == int(zoom))
+                    )
+                    .count()
+                )
+                row["obj_rdd"] = int(cnt)
+                row["time_rdd"] = f"{(_time.time() - t0) * 1000:,.0f}"
+            t0 = _time.time()
+            row["obj_collection"] = int(self.read_all_count(layer, int(zoom)))
+            row["time_collection"] = f"{(_time.time() - t0) * 1000:,.0f}"
+            out.append(row)
+        return out

@@ -99,6 +99,12 @@ def make_handler(svc: LayerService):
                 return self._json({"answer": ans})
             if head == "readall" and len(parts) == 2:
                 return self._json({"count": svc.read_all_count(parts[1])})
+            if head == "readall" and len(parts) == 3:
+                # /readall/{layer}/{zoom}: the reference's dual-path timing
+                # probe (Router.scala:224-264)
+                return self._json(
+                    {"result": svc.read_all_bench(parts[1], int(parts[2]))}
+                )
             self._json({"error": "no such route"}, 404)
 
     return Handler

@@ -77,3 +77,50 @@ def test_mean_and_series_routes(srv, svc):
 def test_readall_route(srv, svc):
     got = json.loads(_get(f"{srv}/readall/landsat")[0])
     assert got["count"] == svc.read_all_count("landsat")
+
+
+def test_point_read_tile_cache(tsmall_catalog):
+    """S3 local-cache analog: a repeat point read of the same tile must not
+    touch the parquet scan again (and invalidates on a new snapshot)."""
+    from geotrellis_landsat_emr_demo_spark.plans.queries import LayerService
+
+    s = LayerService(tsmall_catalog)
+    pdf = tsmall_catalog.read_pandas("tiles", columns=["zoom", "x", "y", "ts"])
+    row = pdf[pdf.zoom == 13].iloc[0]
+    millis = int(row.ts.value // 1_000_000)
+    calls = {"n": 0}
+    orig = tsmall_catalog.read_arrow
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    tsmall_catalog.read_arrow = counting
+    try:
+        t1 = s._point_read("landsat", 13, int(row.x), int(row.y), millis)
+        n_after_first = calls["n"]
+        t2 = s._point_read("landsat", 13, int(row.x), int(row.y), millis)
+        assert calls["n"] == n_after_first  # served from the tile cache
+        assert (t1 == t2).all()
+        # missing keys cache too (the empty-PNG hot path)
+        assert s._point_read("landsat", 13, 0, 0, millis) is None
+        assert s._point_read("landsat", 13, 0, 0, millis) is None
+    finally:
+        tsmall_catalog.read_arrow = orig
+
+
+def test_readall_bench_dual_path(spark, tsmall_catalog, svc):
+    """A6 dual path: the Spark-job count and the collection count agree
+    (Router.scala:224-264's obj_rdd == obj_collection invariant)."""
+    from geotrellis_landsat_emr_demo_spark.plans.queries import LayerService
+
+    s = LayerService(tsmall_catalog, spark=spark)
+    rows = s.read_all_bench("landsat", 13, reps=2)
+    assert len(rows) == 2
+    for r in rows:
+        assert r["obj_rdd"] == r["obj_collection"] == svc.read_all_count("landsat")
+        assert "time_rdd" in r and "time_collection" in r
+    # Spark-free service still serves the collection path
+    rows2 = svc.read_all_bench("landsat", 13, reps=1)
+    assert rows2[0]["obj_collection"] == svc.read_all_count("landsat")
+    assert "obj_rdd" not in rows2[0]

