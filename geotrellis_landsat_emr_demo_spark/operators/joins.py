@@ -38,6 +38,36 @@ ORIGIN = tiling.ORIGIN
 WORLD = tiling.WORLD
 
 
+def with_mercator_envelope(df: DataFrame) -> DataFrame:
+    """Normalize footprint columns (xmin..ymax) to EPSG:3857.
+
+    Rows whose ``crs`` is already 3857 (or frames without a crs column)
+    pass through unchanged; UTM rows get their densified-boundary 3857
+    envelope (core.proj).  Call this on a SLIM projection (ids + extents),
+    never on rows carrying pixel payloads — the batch transform would
+    move the bytes through Arrow for nothing."""
+    if "crs" not in df.columns:
+        return df
+    from ..core import proj
+
+    cols = df.columns
+
+    def fn(batches):
+        for pdf in batches:
+            for i in pdf.index[pdf["crs"].fillna("EPSG:3857") != "EPSG:3857"]:
+                env = proj.extent_to_mercator(
+                    (
+                        pdf.at[i, "xmin"], pdf.at[i, "ymin"],
+                        pdf.at[i, "xmax"], pdf.at[i, "ymax"],
+                    ),
+                    pdf.at[i, "crs"],
+                )
+                pdf.loc[i, ["xmin", "ymin", "xmax", "ymax"]] = env
+            yield pdf
+
+    return df.mapInPandas(fn, schema=df.schema).select(*cols)
+
+
 def with_cover_cells(df: DataFrame, zoom: int, prefix: str = "") -> DataFrame:
     """Explode footprint columns (xmin..ymax, EPSG:3857) into one row per
     covering tile (cx, cy) at ``zoom`` — pure Catalyst, no UDF.

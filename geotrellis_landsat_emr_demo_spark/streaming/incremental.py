@@ -57,18 +57,20 @@ def incremental_ingest(
     if n_new == 0:
         return {"new_images": 0}
     t0 = time.time()
-    # keys touched by the new scenes (cover cells at max_zoom, pure Catalyst)
-    from ..operators.joins import with_cover_cells
+    # keys touched by the new scenes (cover cells at max_zoom, pure
+    # Catalyst; UTM footprints normalized to 3857 envelopes first)
+    from ..operators.joins import with_cover_cells, with_mercator_envelope
 
+    slim = ["image_id", "xmin", "ymin", "xmax", "ymax", "crs"]
     touched = (
-        with_cover_cells(new.select("image_id", "xmin", "ymin", "xmax", "ymax"), max_zoom)
+        with_cover_cells(with_mercator_envelope(new.select(*slim)), max_zoom)
         .select("cx", "cy")
         .distinct()
     )
     # all scenes (old + new) contributing to any touched key: envelope join
     contributors = (
         with_cover_cells(
-            images.select("image_id", "xmin", "ymin", "xmax", "ymax"), max_zoom
+            with_mercator_envelope(images.select(*slim)), max_zoom
         )
         .join(F.broadcast(touched), ["cx", "cy"], "left_semi")
         .select("image_id")
@@ -133,7 +135,7 @@ def compact_incremental(spark: SparkSession, cat: Catalog, layer: str) -> int:
         {"tiles_compacted": [(f, {"layer": layer}) for f in files]},
         markers={f"compact:{layer}": {}},
     )
-    return cat.read_arrow("tiles_compacted").num_rows
+    return cat.read_arrow("tiles_compacted", columns=["layer"]).num_rows
 
 
 def stream_ingest_files(

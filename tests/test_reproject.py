@@ -106,6 +106,45 @@ def test_split_to_tiles_warped_parity():
         assert (tile == oracle).all(), (c, r)
 
 
+def test_incremental_ingest_utm_scene(spark):
+    """Incremental path with a non-3857 scene: the touched-key discovery
+    must use the 3857 envelope (with_mercator_envelope), and the rebuilt
+    tiles must match the warp oracle."""
+    from geotrellis_landsat_emr_demo_spark.streaming import incremental
+
+    root = os.path.join(SCRATCH, "utm-incr")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    scene = _utm_scene(px=128)
+    ts = pd.Timestamp("2015-06-01T00:00:00")
+    pdf = pd.DataFrame(
+        [
+            dict(
+                image_id="utm-0002",
+                bytes=kernels.encode_payload(scene, "npy-u16"),
+                w=128, h=128, fmt="npy-u16", caption="utm inc", phash=0, ts=ts,
+                xmin=UTM_EXT[0], ymin=UTM_EXT[1],
+                xmax=UTM_EXT[2], ymax=UTM_EXT[3],
+                crs=CRS, nbands=1, cloud_cover=0.0,
+            )
+        ]
+    )
+    cat.append_pandas(pdf, "images")
+    m = incremental.incremental_ingest(spark, cat, "utm", max_zoom=10)
+    assert m["new_images"] == 1
+    tiles = incremental.read_incremental_tiles(spark, cat, "utm").toPandas()
+    assert len(tiles) >= 2
+    for row in tiles.itertuples(index=False):
+        oracle = kernels.warp_to_extent(
+            scene, UTM_EXT, CRS, tiling.tile_extent(row.x, row.y, 10), (256, 256)
+        )
+        assert (kernels.decode_payload(row.tile) == oracle).all(), (row.x, row.y)
+    # idempotent: nothing new on rerun (scenes_seen anti-join)
+    assert incremental.incremental_ingest(spark, cat, "utm", max_zoom=10) == {
+        "new_images": 0
+    }
+
+
 def test_8bit_layer_dispatch_e2e(spark):
     """An 8-bit (Planet-style) layer renders through the mask branch and
     reports isLandsat=False in /catalog (Render.scala:21,35-49 dispatch)."""
