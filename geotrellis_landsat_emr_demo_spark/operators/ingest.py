@@ -213,6 +213,29 @@ def _final_merge_fn(layer: str, zoom: int, store_fmt: str):
     trivial winner map (their own id wherever they carry data)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts0 = pdf["ts"].iloc[0]
+        millis0 = int(pd.Timestamp(ts0).value // 1_000_000)
+        if len(pdf) == 1:
+            # singleton key: combine_ranked of one partial is the identity,
+            # and encode(decode(x), fmt) == x for the matching raw format —
+            # pass the fragment bytes through untouched (no codec work)
+            frag = pdf["frag"].iloc[0]
+            if kernels.payload_fmt(frag) == store_fmt:
+                return pd.DataFrame(
+                    dict(
+                        layer=[layer],
+                        zoom=[zoom],
+                        x=[int(pdf["x"].iloc[0])],
+                        y=[int(pdf["y"].iloc[0])],
+                        cell_key=[int(pdf["cell_key"].iloc[0])],
+                        time_key=[int(cellindex.day_bucket(millis0))],
+                        ts=[ts0],
+                        tile=[frag],
+                        caption=[pdf["caption"].iloc[0]],
+                        image_id=[pdf["image_id"].iloc[0]],
+                        n_frags=[int(pdf["n_frags"].iloc[0])],
+                    )
+                )
         parts = []
         for b, wb, wids, iid in zip(
             pdf["frag"], pdf["winner"], pdf["winner_ids"], pdf["image_id"]
@@ -251,51 +274,20 @@ def _final_merge_fn(layer: str, zoom: int, store_fmt: str):
 
 
 def _merge_partials(
-    partials: DataFrame,
-    layer: str,
-    zoom: int,
-    store_fmt: str,
-    frag_fmt: str = "npy-u16",
+    partials: DataFrame, layer: str, zoom: int, store_fmt: str
 ) -> DataFrame:
-    """Final merge with a JVM-only singleton bypass.
+    """Final merge: one shuffle on the key, one grouped UDF.
 
-    Keys whose shuffled group is a SINGLE partial row need no pixel math:
-    the tile payload IS the fragment payload (combine_ranked of one part is
-    the identity; encode(decode(x)) == x for matching formats).  Those rows
-    — the non-overlapping majority of a typical corpus — are mapped to
-    TILE_SCHEMA with pure column expressions: no Arrow transfer, no Python
-    worker, no decode/encode.  Only multi-partial keys pay the
-    applyInPandas combine.  The window count and the groupBy hash-partition
-    on the same keys, so the exchange is planned once and reused."""
-    from pyspark.sql import Window as _W
-
-    if store_fmt != frag_fmt:
-        return partials.groupBy("x", "y", "ts").applyInPandas(
-            _final_merge_fn(layer, zoom, store_fmt), schema=TILE_SCHEMA
-        )
-    counted = partials.withColumn(
-        "_n", F.count("*").over(_W.partitionBy("x", "y", "ts"))
-    )
-    singles = counted.filter(F.col("_n") == 1).select(
-        F.lit(layer).alias("layer"),
-        F.lit(zoom).alias("zoom"),
-        "x",
-        "y",
-        "cell_key",
-        F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long").alias(
-            "time_key"
-        ),
-        "ts",
-        F.col("frag").alias("tile"),
-        "caption",
-        "image_id",
-        "n_frags",
-    )
-    multis = counted.filter(F.col("_n") > 1).drop("_n")
-    merged = multis.groupBy("x", "y", "ts").applyInPandas(
+    A JVM-only two-branch bypass for singleton keys (window count +
+    filtered union) was measured and REVERTED: Spark planned the expensive
+    chunk MapInPandas subtree twice (no exchange reuse under AQE across
+    the union branches, 2 x MapInPandas in the physical plan, ~2x ingest
+    wall); with an explicit persist it merely broke even.  The surviving
+    optimization lives inside :func:`_final_merge_fn`: singleton groups
+    skip the decode/encode (tile bytes == fragment bytes)."""
+    return partials.groupBy("x", "y", "ts").applyInPandas(
         _final_merge_fn(layer, zoom, store_fmt), schema=TILE_SCHEMA
     )
-    return singles.unionByName(merged)
 
 
 def _parent_fn(layer: str, zoom: int, store_fmt: str):
