@@ -187,6 +187,38 @@ def stream_ingest_files(
     )
 
 
+def stateful_scene_counts(stream_images):
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    acquisition day, a RUNNING scene count + cloud-cover mean maintained in
+    explicit group state across micro-batches — the 'custom stateful
+    operator' surface Structured Streaming offers beyond windowed aggs.
+    State is (n, sum_cloud) per day; one updated row is emitted per group
+    per micro-batch; the streaming checkpoint persists state across
+    restarts (tested: counts continue, not restart, after a new query
+    resumes from the same checkpoint)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["cloud_cover"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            dict(day=[key[0]], n_scenes=[n], avg_cloud=[s / n if n else None])
+        )
+
+    days = stream_images.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return days.groupBy("day").applyInPandasWithState(
+        update,
+        outputStructType="day string, n_scenes long, avg_cloud double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_scene_stats(spark: SparkSession, images_df, watermark="1 day"):
     """Streaming-shaped windowed aggregation over scene arrivals: count +
     cloud stats per 1-day event-time window (batch-equivalent shape used by

@@ -4,6 +4,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -132,6 +133,67 @@ def test_stream_ingest_files(spark):
     assert len(tiles2) > len(tiles1)
     ts_distinct = tiles2.ts.nunique()
     assert ts_distinct == 2
+
+
+def test_stateful_scene_counts_across_restarts(spark):
+    """applyInPandasWithState: running per-day counts accumulate across
+    micro-batches AND across query restarts (state restored from the
+    checkpoint); final counts equal the batch groupBy."""
+    from geotrellis_landsat_emr_demo_spark.streaming import incremental
+
+    root = os.path.join(SCRATCH, "statestream")
+    shutil.rmtree(root, ignore_errors=True)
+    imdir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    os.makedirs(imdir)
+    pdf = fixtures.images_pdf("t-small").drop(columns=["bytes"])
+    static_schema = spark.createDataFrame(pdf).schema
+
+    def run_query(qname):
+        stream = spark.readStream.schema(static_schema).parquet(imdir)
+        out = incremental.stateful_scene_counts(stream)
+        rows = []
+
+        def collect(df, _epoch):
+            rows.append(df.toPandas())
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return (
+            pd.concat(rows, ignore_index=True)
+            if rows
+            else pd.DataFrame(columns=["day", "n_scenes", "avg_cloud"])
+        )
+
+    spark.createDataFrame(pdf.iloc[:4]).write.mode("append").parquet(imdir)
+    got1 = run_query("state1")
+    # restart with more files: state must resume (counts continue)
+    spark.createDataFrame(pdf.iloc[4:]).write.mode("append").parquet(imdir)
+    got2 = run_query("state2")
+    # running count is monotone per day -> the max-count row per day is the
+    # final state, whichever query emitted it
+    both = pd.concat([got1, got2], ignore_index=True)
+    final = (
+        both.sort_values("n_scenes").groupby("day").last().reset_index()
+    )
+    expect = (
+        pdf.assign(day=pdf.ts.dt.strftime("%Y-%m-%d"))
+        .groupby("day")
+        .agg(n_scenes=("image_id", "size"), avg_cloud=("cloud_cover", "mean"))
+        .reset_index()
+        .sort_values("day")
+    )
+    merged = final.merge(expect, on="day", suffixes=("_got", "_exp"))
+    assert len(merged) == len(expect)
+    # restarted query only saw new files, so its emitted rows must still
+    # reflect TOTAL counts (old state + new rows)
+    assert (merged.n_scenes_got == merged.n_scenes_exp).all()
+    assert (abs(merged.avg_cloud_got - merged.avg_cloud_exp) < 1e-9).all()
 
 
 def test_windowed_scene_stats_streaming(spark):
