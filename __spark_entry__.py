@@ -211,9 +211,19 @@ def q_knn_points(spark, sf_dir):
         "dist_sq",
         (F.col("lng") - F.col("qlng")) ** 2 + (F.col("lat") - F.col("qlat")) ** 2,
     )
+    # two-phase top-k: per-partition local top-3 first, so no single
+    # (query_id) window partition ever holds all N events (the local pass
+    # keys on (query_id, physical partition) — balanced at any scale; the
+    # global pass ranks <= 3 * n_partitions survivors)
+    wl = Window.partitionBy("query_id", "part").orderBy("dist_sq", "event_id")
+    local = (
+        j.withColumn("part", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= 3)
+    )
     w = Window.partitionBy("query_id").orderBy("dist_sq", "event_id")
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("query_id", "event_id", "rank")
     )

@@ -260,15 +260,21 @@ def lsh_near_dup_pairs(
     b = _table_buckets(
         base.repartition(par).withColumn("v", F.col("vec")), "v", bits, tables, dim
     )
-    x = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "tbl", "bucket")
-    y = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "tbl", "bucket")
+    # candidate dedup on ids ONLY — carrying the vector payloads through
+    # the tables x collisions candidate set would shuffle each vector up
+    # to `tables` times; instead join the (narrow) distinct pairs back to
+    # the vectors once per side
+    x = b.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    y = b.select(F.col("id").alias("id_b"), "tbl", "bucket")
     cand = (
         x.join(y, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("vec_a").alias("vec_a"), F.first("vec_b").alias("vec_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    j = with_cosine(cand, "vec_a", "vec_b")
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    j = with_cosine(cand.join(va, "id_a").join(vb, "id_b"), "vec_a", "vec_b")
     return j.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 

@@ -294,20 +294,26 @@ _HEX = "0123456789abcdef"
 
 def _simhash_votes(words_df: DataFrame) -> DataFrame:
     """(doc_id, v0..v63): per-bit majority votes over (doc_id, w) rows.
-    Pure Catalyst: md5 -> hex-digit values -> bit votes -> 64 map-side
-    partial sums (one shuffle on doc_id)."""
+    Pure Catalyst: md5 -> two 32-bit hex chunks (2 conv calls per word,
+    not 16) -> integer bit extraction -> 64 map-side partial sums (one
+    shuffle on doc_id).
+
+    Bit numbering (identical to the SQL oracle): bit b = bit (b % 4) of
+    hex digit (b // 4); digit j lives at bits (7 - j % 8) * 4 of its
+    32-bit chunk, so bit b = (chunk >> ((7 - j % 8) * 4 + b % 4)) & 1."""
     h = F.md5(F.col("w"))
-    digits = [
-        F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
-        for j in range(16)
-    ]
-    wd = words_df.select("doc_id", *digits)
-    votes = [
-        F.sum(
-            F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
+    wd = words_df.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def bit(b):
+        j, k = b // 4, b % 4
+        chunk = F.col("hi") if j < 8 else F.col("lo")
+        return F.shiftright(chunk, (7 - j % 8) * 4 + k).bitwiseAND(F.lit(1))
+
+    votes = [F.sum(bit(b) * 2 - 1).alias(f"v{b}") for b in range(64)]
     return wd.groupBy("doc_id").agg(*votes)
 
 
