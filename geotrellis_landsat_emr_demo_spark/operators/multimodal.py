@@ -112,6 +112,73 @@ def verify_phash(images: DataFrame) -> DataFrame:
     ).withColumn("ok", F.col("phash") == F.col("recomputed"))
 
 
+def image_ahash(images: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual average-hash over DECODED pixels (real, not a stub, for
+    the engine's payload formats): NaN-aware bilinear downsample of band 0
+    to hash_size x hash_size, bit = cell > mean.  Identical pixels ->
+    identical hash; small edits -> small hamming distance.  Returns
+    (image_id, ahash bigint)."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = dict(image_id=[], ahash=[])
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.bytes, r.fmt)
+                nb, h, w = arr.shape
+                small = kernels.regrid_to_extent(
+                    arr[:1],
+                    (0.0, 0.0, float(w), float(h)),
+                    (0.0, 0.0, float(w), float(h)),
+                    (hash_size, hash_size),
+                )[0].astype("f8")
+                bits = (small > small.mean()).ravel()
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out["image_id"].append(r.image_id)
+                out["ahash"].append(val)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, ahash long"
+    )
+
+
+def image_features(images: DataFrame, grid: int = 4) -> DataFrame:
+    """Real image feature extraction: per band, NaN-aware bilinear
+    mean-pool to a grid x grid patch; flattened (band-major) into an
+    ``array<float>`` embedding column — directly consumable by the
+    similarity operators (cosine_topk / lsh_near_dup_pairs / ivf_topk).
+    Returns (image_id, caption, embedding array<float>)."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = dict(image_id=[], caption=[], embedding=[])
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.bytes, r.fmt)
+                nb, h, w = arr.shape
+                small = kernels.to_double(
+                    kernels.regrid_to_extent(
+                        arr,
+                        (0.0, 0.0, float(w), float(h)),
+                        (0.0, 0.0, float(w), float(h)),
+                        (grid, grid),
+                    )
+                )
+                vec = np.nan_to_num(small, nan=0.0).ravel() / 65535.0
+                out["image_id"].append(r.image_id)
+                out["caption"].append(r.caption)
+                out["embedding"].append([float(v) for v in vec])
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "caption", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, caption string, embedding array<float>"
+    )
+
+
 def frame_sample(videos: DataFrame, every_k: int = 4) -> DataFrame:
     """Video frame sampling plumbing: one input row -> one row per sampled
     frame.  Real video decode needs codecs absent here, so the decode step

@@ -64,6 +64,47 @@ def test_frame_sample_fanout(images):
     assert out.groupby("image_id").size().min() >= 1
 
 
+def test_image_ahash_and_features_near_dup_pipeline(spark, images):
+    """Real multimodal -> similarity pipeline: a planted duplicate image is
+    found by (a) identical perceptual ahash, (b) cosine ~1.0 on extracted
+    grid features via the LSH near-dup operator; a perturbed near-dup
+    lands at small-but-nonzero hamming."""
+    rows = images.limit(3).collect()
+    base = K.decode_payload(rows[0].bytes)
+    perturbed = base.copy()
+    perturbed[:, ::7, ::11] = np.minimum(perturbed[:, ::7, ::11] + 900, 65534)
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                dict(image_id="dup-exact", bytes=rows[0].bytes,
+                     fmt=rows[0].fmt, caption=rows[0].caption),
+                dict(image_id="dup-near",
+                     bytes=K.encode_payload(perturbed, "npy-u16"),
+                     fmt="npy-u16", caption=rows[0].caption),
+            ]
+        )
+    )
+    docs = images.limit(3).select("image_id", "bytes", "fmt", "caption").unionByName(extra)
+    ah = {r.image_id: r.ahash for r in multimodal.image_ahash(docs).collect()}
+    assert ah["dup-exact"] == ah[rows[0].image_id]
+    ham = bin((ah["dup-near"] ^ ah[rows[0].image_id]) & (2**64 - 1)).count("1")
+    assert ham <= 16
+
+    from geotrellis_landsat_emr_demo_spark.operators import similarity
+
+    feats = multimodal.image_features(docs, grid=4)
+    dim = 4 * 4 * K.decode_payload(rows[0].bytes).shape[0]
+    pairs = similarity.lsh_near_dup_pairs(
+        feats, threshold=0.999, dim=dim, id_col="image_id"
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    a, b = sorted([rows[0].image_id, "dup-exact"])
+    assert (a, b) in got
+    # captions survive the extraction (input_hint invariant)
+    caps = {r.image_id: r.caption for r in feats.collect()}
+    assert caps["dup-exact"] == rows[0].caption
+
+
 # ------------------------------------------------------------- streaming --
 
 
