@@ -250,7 +250,14 @@ def q_spacetime_key_agg(spark, sf_dir):
         _cells(spark, sf_dir, 4)
         .withColumn("day", F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long"))
         .groupBy("day", "cx")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact decimal sum -> order-independent round (double sums
+            # vary with shuffle partitioning at scale)
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 3
+            ).alias("sum_value"),
+        )
     )
 
 
@@ -259,7 +266,8 @@ def sql_spacetime_key_agg():
     return f"""
         SELECT CAST(floor(epoch(e.ts) / 86400) AS BIGINT) AS day,
                CAST(floor(({R_EARTH} * radians((user_id % 360) - 180 + 0.5) + {ORIGIN}) / {span4}) AS BIGINT) AS cx,
-               count(*) AS n, round(sum(value), 3) AS sum_value
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 3) AS sum_value
         FROM events e
         GROUP BY 1, 2
     """
@@ -324,17 +332,21 @@ def sql_extent_agg():
 def q_two_date_diff_join(spark, sf_dir):
     """J1: two-slice self equi-join (tile@t1 vs tile@t2 -> clicks vs
     purchases per user), inner — both sides must exist."""
+    # avg over exact-decimal sums: double summation is order-dependent
+    # across shuffle partitions, which flips round(.,3) at sf >= 0.1
     ev = _t(spark, sf_dir, "events")
-    a = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.round(F.avg("value"), 3).alias("click_avg"))
-    )
-    b = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.round(F.avg("value"), 3).alias("purchase_avg"))
-    )
+
+    def mean3(df, name):
+        return df.groupBy("user_id").agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                3,
+            ).alias(name)
+        )
+
+    a = mean3(ev.filter(F.col("event_type") == "click"), "click_avg")
+    b = mean3(ev.filter(F.col("event_type") == "purchase"), "purchase_avg")
     return a.join(b, "user_id", "inner").select(
         "user_id",
         "click_avg",
@@ -343,11 +355,14 @@ def q_two_date_diff_join(spark, sf_dir):
     )
 
 
+_DEC_AVG = "round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 3)"
+
+
 def sql_two_date_diff_join():
-    return """
-        WITH a AS (SELECT user_id, round(avg(value), 3) AS click_avg
+    return f"""
+        WITH a AS (SELECT user_id, {_DEC_AVG} AS click_avg
                    FROM events WHERE event_type = 'click' GROUP BY user_id),
-             b AS (SELECT user_id, round(avg(value), 3) AS purchase_avg
+             b AS (SELECT user_id, {_DEC_AVG} AS purchase_avg
                    FROM events WHERE event_type = 'purchase' GROUP BY user_id)
         SELECT a.user_id, a.click_avg, b.purchase_avg,
                round(a.click_avg - b.purchase_avg, 3) AS diff
@@ -445,13 +460,14 @@ def q_zonal_group_mean(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
     return (
         j.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 30))
         .groupBy("p_brand")
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "avg_rev"
-            ),
+            F.round(F.sum(rev).cast("double") / F.count("*"), 2).alias("avg_rev"),
             F.count("*").alias("n"),
         )
     )
@@ -460,7 +476,8 @@ def q_zonal_group_mean(spark, sf_dir):
 def sql_zonal_group_mean():
     return """
         SELECT p_brand,
-               round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_rev,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 2) AS avg_rev,
                count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_size BETWEEN 10 AND 30
@@ -734,20 +751,26 @@ def sql_embedding_knn():
 def q_embedding_centroids(spark, sf_dir):
     """Per-label centroid of the first 3 dims + counts."""
     e = _t(spark, sf_dir, "embeddings")
-    return e.groupBy("label").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg(F.col("embedding")[0].cast("double")), 3).alias("c0"),
-        F.round(F.avg(F.col("embedding")[1].cast("double")), 3).alias("c1"),
-        F.round(F.avg(F.col("embedding")[2].cast("double")), 3).alias("c2"),
-    )
+
+    def cmean(i):
+        return F.round(
+            F.sum(F.col("embedding")[i].cast("decimal(28,10)")).cast("double")
+            / F.count("*"),
+            3,
+        ).alias(f"c{i}")
+
+    return e.groupBy("label").agg(F.count("*").alias("n"), cmean(0), cmean(1), cmean(2))
 
 
 def sql_embedding_centroids():
-    return """
-        SELECT label, count(*) AS n,
-               round(avg(embedding[1]::DOUBLE), 3) AS c0,
-               round(avg(embedding[2]::DOUBLE), 3) AS c1,
-               round(avg(embedding[3]::DOUBLE), 3) AS c2
+    def cmean(i):
+        return (
+            f"round(CAST(sum(CAST(embedding[{i + 1}] AS DECIMAL(28,10))) AS DOUBLE)"
+            f" / count(*), 3) AS c{i}"
+        )
+
+    return f"""
+        SELECT label, count(*) AS n, {cmean(0)}, {cmean(1)}, {cmean(2)}
         FROM embeddings GROUP BY label
     """
 
@@ -789,7 +812,12 @@ def q_window_tumbling_counts(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 3
+            ).alias("sum_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -802,19 +830,27 @@ def q_window_tumbling_counts(spark, sf_dir):
 def sql_window_tumbling_counts():
     return """
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-               event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+               event_type, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 3) AS sum_value
         FROM events GROUP BY 1, 2
     """
 
 
 def q_sessionize(spark, sf_dir):
     """Sessionization: gap > 6h starts a new session; sessions per user."""
+    # gaps in exact MICROS on both sides: Spark's unix_timestamp truncates
+    # to whole seconds while DuckDB's epoch() keeps fractions, which
+    # disagrees exactly at the 6h boundary once the corpus is big enough
+    # to hit it (first seen at sf0.1)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
     marked = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 6 * 3600), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 6 * 3600 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     return marked.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
@@ -827,7 +863,7 @@ def sql_sessionize():
         FROM (
             SELECT user_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

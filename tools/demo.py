@@ -83,6 +83,13 @@ def main():
     print("== /series ->", body.decode())
     body, _ = get("/readall/landsat")
     print("== /readall ->", body.decode())
+    body, _ = get("/readall/landsat/13")
+    bench = json.loads(body)["result"]
+    print(
+        "== /readall/13 (dual-path probe) -> "
+        f"{len(bench)} reps, obj_collection={bench[0]['obj_collection']}, "
+        f"time_collection_ms={bench[0]['time_collection']}"
+    )
     httpd.shutdown()
     print("== demo complete")
 
