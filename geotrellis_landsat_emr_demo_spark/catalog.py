@@ -97,6 +97,34 @@ class Catalog:
         self._write_manifest(m)
         return m["snapshot"]
 
+    def replace(
+        self, table: str, files: list, markers: dict | None = None
+    ) -> int:
+        """Atomically REPLACE a table's file list (the compaction /
+        rewrite_data_files commit).  Old data files stay on disk and remain
+        readable through historical snapshots (read_at / rollback), exactly
+        like Iceberg's rewrite: logical replace, physical retain."""
+        m = self._read_manifest()
+        hist = os.path.join(self.root, "_history", f"{m['snapshot']}.json")
+        with open(hist, "w") as f:
+            json.dump(m, f)
+        entry = {"files": []}
+        for p in files:
+            meta = None
+            if isinstance(p, tuple):
+                p, meta = p
+            rel = os.path.relpath(p, self.root)
+            assert not rel.startswith(".."), f"file outside catalog root: {p}"
+            entry["files"].append({"path": rel, "meta": meta} if meta else rel)
+        m["tables"][table] = entry
+        if markers:
+            now = time.time()
+            for k, v in markers.items():
+                m["committed"][k] = {"at": now, **(v or {})}
+        m["snapshot"] += 1
+        self._write_manifest(m)
+        return m["snapshot"]
+
     def is_committed(self, marker: str) -> bool:
         return marker in self._read_manifest()["committed"]
 
@@ -113,6 +141,18 @@ class Catalog:
     @staticmethod
     def _entry_path(e):
         return e["path"] if isinstance(e, dict) else e
+
+    def file_entries(self, table: str) -> list[tuple[str, dict | None]]:
+        """(absolute path, file-level metadata) pairs for a table."""
+        m = self._read_manifest()
+        entry = m["tables"].get(table, {"files": []})
+        return [
+            (
+                os.path.join(self.root, self._entry_path(e)),
+                e.get("meta") if isinstance(e, dict) else None,
+            )
+            for e in entry["files"]
+        ]
 
     def files(self, table: str, **meta_filter) -> list[str]:
         """Paths of a table's data files; ``meta_filter`` prunes on

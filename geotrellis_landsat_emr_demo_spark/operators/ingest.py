@@ -325,6 +325,53 @@ def _parent_fn(layer: str, zoom: int, store_fmt: str):
     return fn
 
 
+def compact_tiles(
+    spark: SparkSession,
+    cat: Catalog,
+    table: str = "tiles",
+    target_mb: int = 128,
+) -> dict:
+    """Small-file compaction — the Iceberg ``rewrite_data_files`` analog.
+
+    Every ingest/incremental commit appends files, so a long-lived table
+    accumulates many small parquet files (scan-task explosion at 100 TB).
+    Rewrite each (layer, zoom) file group into ceil(bytes / target_mb)
+    files and REPLACE the table's file list in one atomic snapshot —
+    file-level partition metadata is preserved so manifest pruning keeps
+    working, and the old files remain readable via time travel
+    (catalog.read_at / rollback).  Returns {group: (files_before,
+    files_after)}."""
+    import math
+    import os as _os
+
+    groups: dict = {}
+    for path, meta in cat.file_entries(table):
+        key = (meta or {}).get("layer"), (meta or {}).get("zoom")
+        groups.setdefault(key, []).append(path)
+    new_files: list = []
+    report = {}
+    for (layer, zoom), paths in sorted(
+        groups.items(), key=lambda kv: (str(kv[0][0]), str(kv[0][1]))
+    ):
+        nbytes = sum(_os.path.getsize(p) for p in paths)
+        nparts = max(1, math.ceil(nbytes / (target_mb << 20)))
+        df = spark.read.parquet(*paths).repartition(nparts)
+        staged = cat.stage_spark_write(df, table)
+        meta = {
+            k: v
+            for k, v in (("layer", layer), ("zoom", zoom))
+            if v is not None
+        }
+        new_files.extend((f, meta or None) for f in staged)
+        report[f"{layer}:z{zoom}"] = (len(paths), len(staged))
+    # replace() stores (path, None) tuples as plain entries, so pass
+    # tuples uniformly
+    cat.replace(
+        table, new_files, markers={f"compact:{table}": {"groups": len(report)}}
+    )
+    return report
+
+
 def _lineage_pdf(layer, stage, zoom, rows, nbytes, wall_s, partitions):
     return pd.DataFrame(
         [

@@ -16,6 +16,44 @@ from geotrellis_landsat_emr_demo_spark.operators import ingest
 from conftest import SCRATCH
 
 
+def test_compact_tiles_rewrite(spark):
+    """Small-file compaction: fewer files, identical rows, partition-meta
+    pruning intact, old snapshot still time-travel readable."""
+    root = os.path.join(SCRATCH, "compact")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    fixtures.write_all(cat, "t-small")
+    ingest.ingest_images(spark, cat, "landsat", max_zoom=13, min_zoom=12)
+    before_files = cat.files("tiles")
+    before_snapshot = cat.snapshot_id()
+    def key_set():
+        pdf = cat.read_pandas("tiles", columns=["layer", "zoom", "x", "y", "ts"])
+        return {
+            (r.layer, int(r.zoom), int(r.x), int(r.y), int(pd.Timestamp(r.ts).value))
+            for r in pdf.itertuples(index=False)
+        }
+
+    before = key_set()
+    report = ingest.compact_tiles(spark, cat, target_mb=512)
+    assert set(report) == {"landsat:z13", "landsat:z12"}
+    after_files = cat.files("tiles")
+    assert len(after_files) < len(before_files)
+    after = key_set()
+    assert before == after
+    # manifest pruning by zoom still works on the rewritten files
+    z13 = cat.files("tiles", zoom=13)
+    assert z13 and all(f in after_files for f in z13)
+    import pyarrow.parquet as pq
+
+    assert all(
+        set(pq.read_table(f, columns=["zoom"])["zoom"].to_pylist()) == {13}
+        for f in z13
+    )
+    # the pre-compaction snapshot still resolves to the OLD file set
+    old = cat.read_at("tiles", before_snapshot)
+    assert old.num_rows == len(before)
+
+
 def oracle_leaf_keys(tier="t-small", zoom=13):
     """Expected (x, y, ts_millis) leaf assignments straight from footprints."""
     keys = set()
