@@ -169,6 +169,38 @@ def test_lossy_fmt_psnr_gate():
         assert 10 * np.log10(65535.0**2 / mse) >= 40
 
 
+def test_ingest_lossy_store_fmt_psnr_gate(spark, tsmall_catalog):
+    """End-to-end ingest with a LOSSY store format (jq75): every leaf tile
+    decodes within PSNR >= 40 dB of the lossless pipeline's tile, with the
+    NoData mask exact (the BASELINE lossy-parity clause, through the whole
+    chunk -> merge -> encode path, not just the codec)."""
+    root = os.path.join(SCRATCH, "lossy")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    fixtures.write_all(cat, "t-small")
+    ingest.ingest_images(
+        spark, cat, "landsat", max_zoom=13, min_zoom=13, store_fmt="jq75"
+    )
+    lossless = {
+        (int(r.x), int(r.y), _millis(r.ts)): r.tile
+        for r in tsmall_catalog.read_pandas("tiles")
+        .query("zoom == 13")
+        .itertuples(index=False)
+    }
+    lossy = cat.read_pandas("tiles").query("zoom == 13")
+    assert len(lossy) == len(lossless)
+    for r in lossy.itertuples(index=False):
+        truth = K.decode_payload(lossless[(int(r.x), int(r.y), _millis(r.ts))])
+        dec = K.decode_payload(r.tile)
+        assert K.payload_fmt(r.tile) == "jq75"
+        assert ((dec == 0) == (truth == 0)).all()  # NoData exact
+        data = truth != 0
+        if not data.any():
+            continue
+        mse = ((dec[data].astype("f8") - truth[data].astype("f8")) ** 2).mean()
+        assert 10 * np.log10(65535.0**2 / max(mse, 1e-12)) >= 40, (r.x, r.y)
+
+
 def test_salted_ingest_equals_unsalted(spark, tsmall_catalog):
     root = os.path.join(SCRATCH, "salted")
     shutil.rmtree(root, ignore_errors=True)
