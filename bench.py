@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "simhash_near_pairs",
     "embedding_lsh_near_dups",
+    "embedding_ivf_topk",
 ]
 
 

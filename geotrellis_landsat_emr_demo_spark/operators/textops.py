@@ -6,10 +6,15 @@ Python in any shuffle-adjacent stage.
 
 Dedup family:
 - :func:`exact_dedup`        hash-groupBy on a normalized fingerprint
-- :func:`minhash_signatures` word-shingle MinHash (vectorized numpy)
-- :func:`lsh_pairs`          banded LSH candidate pairs (explode + self-join)
-- :func:`simhash64`          64-bit SimHash (vectorized numpy)
-- :func:`ngram_jaccard_pairs` exact Jaccard on token sets within buckets
+- :func:`minhash_signatures` word-shingle MinHash (vectorized uint64 numpy)
+- :func:`minhash_portable_pairs` JVM-only MinHash+LSH pipeline (min-md5
+  signatures; bit-identical to a plain-SQL recomputation — oracle-checked)
+- :func:`lsh_pairs`          banded LSH candidate pairs (explode + bucket join)
+- :func:`simhash64`          64-bit SimHash, pure Catalyst column algebra
+- :func:`simhash_near_pairs` 4x16-bit block tables (pigeonhole-exact to
+  hamming 3), union of per-block equi-joins
+- :func:`ngram_jaccard_pairs` exact Jaccard via an inverted-index token
+  join (|A∩B| from a count; never an all-pairs self-join)
 
 Analysis family:
 - :func:`token_stats`        whitespace + regex token counts (pure F.*)
@@ -19,8 +24,9 @@ Analysis family:
 
 At 100 TB the shapes matter more than the hashes: exact dedup is one
 shuffle on the fingerprint; LSH is explode(bands) + shuffle on band key
-(band cardinality >> doc count, so no hot keys); pair generation joins
-bucket-local only.
+(band cardinality >> doc count, so no hot keys); Jaccard shuffles on
+(bucket, token) — ultra-frequent tokens are the residual skew lever
+(cap or drop stopwords upstream for web corpora).
 """
 
 from __future__ import annotations
