@@ -126,16 +126,32 @@ def read_incremental_tiles(spark: SparkSession, cat: Catalog, layer: str):
 
 
 def compact_incremental(spark: SparkSession, cat: Catalog, layer: str) -> int:
-    """Rewrite tiles_incremental to one resolved generation (MOR compaction):
-    reads latest-gen rows, rewrites them as a fresh table state via rollback-
-    safe append to ``tiles_compacted``; returns the row count."""
+    """True merge-on-read compaction: resolve latest-gen per key and
+    atomically REPLACE the layer's rows in ``tiles_incremental`` with the
+    single resolved generation (other layers' files are carried over
+    untouched).  Old generations stay on disk, readable through the
+    pre-compaction snapshot (time travel), exactly like Iceberg's
+    rewrite.  Returns the resolved row count."""
     resolved = read_incremental_tiles(spark, cat, layer)
-    files = cat.stage_spark_write(resolved, "tiles_compacted")
-    cat.commit(
-        {"tiles_compacted": [(f, {"layer": layer}) for f in files]},
-        markers={f"compact:{layer}": {}},
+    gen = int(resolved.agg(F.max("gen")).collect()[0][0])
+    # stamp every surviving row with the compaction generation — the
+    # rewritten state IS one generation, whatever gens the rows came from
+    files = cat.stage_spark_write(
+        resolved.withColumn("gen", F.lit(gen)), "tiles_incremental"
     )
-    return cat.read_arrow("tiles_compacted", columns=["layer"]).num_rows
+    keep = [
+        (p, m)
+        for p, m in cat.file_entries("tiles_incremental")
+        if (m or {}).get("layer") != layer
+    ]
+    cat.replace(
+        "tiles_incremental",
+        keep + [(f, {"layer": layer, "gen": gen, "compacted": True}) for f in files],
+        markers={f"compact:{layer}": {"gen": gen}},
+    )
+    return cat.read_arrow(
+        "tiles_incremental", columns=["layer"], layer=layer
+    ).num_rows
 
 
 def stream_ingest_files(

@@ -146,9 +146,26 @@ def test_incremental_ingest_merge_on_read(spark, tsmall_catalog):
             K.decode_payload(resolved.tile[i]) == K.decode_payload(batch.tile[i])
         ).all(), (batch.x[i], batch.y[i])
         assert resolved.caption[i] == batch.caption[i]
-    # compaction rewrites one resolved generation
+    # compaction atomically replaces the layer with ONE resolved generation
+    pre_snapshot = cat.snapshot_id()
+    pre_files = len(cat.files("tiles_incremental"))
     n = incremental.compact_incremental(spark, cat, "landsat")
     assert n == len(batch)
+    assert len(cat.files("tiles_incremental")) < pre_files
+    post = (
+        incremental.read_incremental_tiles(spark, cat, "landsat")
+        .toPandas()
+        .sort_values(["x", "y", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(post) == len(batch)
+    assert post.gen.nunique() == 1
+    for i in range(len(batch)):
+        assert (
+            K.decode_payload(post.tile[i]) == K.decode_payload(batch.tile[i])
+        ).all()
+    # pre-compaction generations remain time-travel readable
+    assert cat.read_at("tiles_incremental", pre_snapshot).num_rows > len(batch)
 
 
 def test_stream_ingest_files(spark):
