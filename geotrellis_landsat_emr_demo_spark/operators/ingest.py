@@ -355,7 +355,16 @@ def compact_tiles(
     ):
         nbytes = sum(_os.path.getsize(p) for p in paths)
         nparts = max(1, math.ceil(nbytes / (target_mb << 20)))
-        df = spark.read.parquet(*paths).repartition(nparts)
+        df = spark.read.parquet(*paths)
+        if "cell_key" in df.columns:
+            # sort-order rewrite: range-cluster on the SFC key so each
+            # output file covers a disjoint cell_key range (global Z-order
+            # clustering — max footer-pruning selectivity for point reads)
+            df = df.repartitionByRange(nparts, "cell_key", "ts").sortWithinPartitions(
+                "cell_key", "ts"
+            )
+        else:
+            df = df.repartition(nparts)
         staged = cat.stage_spark_write(df, table)
         meta = {
             k: v
@@ -391,8 +400,15 @@ def _lineage_pdf(layer, stage, zoom, rows, nbytes, wall_s, partitions):
 
 def _commit_level(cat: Catalog, df: DataFrame, layer: str, stage: str, zoom: int, t0: float):
     """Stage tile files + lineage row, publish in ONE atomic manifest swap
-    (exactly-once per stage even if we crash right after)."""
-    files = cat.stage_spark_write(df, "tiles")
+    (exactly-once per stage even if we crash right after).
+
+    Rows are SFC-sorted (cell_key) within each output partition before the
+    write — a free sort (no shuffle) that gives every parquet row group a
+    tight cell_key min/max, so the serving point reads prune row groups
+    the way the reference's Z-order SFC index prunes backend range scans
+    (conf/output.json:15-18).  Full cross-file clustering happens at
+    compaction (:func:`compact_tiles`)."""
+    files = cat.stage_spark_write(df.sortWithinPartitions("cell_key", "ts"), "tiles")
     import os
 
     nbytes = sum(os.path.getsize(f) for f in files)

@@ -54,6 +54,35 @@ def test_compact_tiles_rewrite(spark):
     assert old.num_rows == len(before)
 
 
+def test_sfc_clustered_layout(spark, tsmall_catalog):
+    """Z-order layout parity: within every tiles file, rows are sorted by
+    cell_key (tight row-group min/max = SFC range pruning); after
+    compaction, files within a (layer, zoom) group cover DISJOINT
+    cell_key ranges (global clustering)."""
+    import pyarrow.parquet as pq
+
+    for f in tsmall_catalog.files("tiles"):
+        keys = pq.read_table(f, columns=["cell_key"])["cell_key"].to_pylist()
+        assert keys == sorted(keys), f
+
+    root = os.path.join(SCRATCH, "cluster")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    fixtures.write_all(cat, "t-small")
+    ingest.ingest_images(spark, cat, "landsat", max_zoom=13, min_zoom=13)
+    # tiny target forces multiple output files per group
+    ingest.compact_tiles(spark, cat, target_mb=1)
+    ranges = []
+    for f in cat.files("tiles", zoom=13):
+        keys = pq.read_table(f, columns=["cell_key"])["cell_key"].to_pylist()
+        assert keys == sorted(keys), f
+        ranges.append((keys[0], keys[-1]))
+    ranges.sort()
+    assert len(ranges) >= 2, "compaction should have produced several files"
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 <= b0, "compacted files must cover disjoint cell_key ranges"
+
+
 def oracle_leaf_keys(tier="t-small", zoom=13):
     """Expected (x, y, ts_millis) leaf assignments straight from footprints."""
     keys = set()
