@@ -701,6 +701,33 @@ def sql_doc_fingerprint():
     """
 
 
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic itself (engine: operators.textops.lang_id):
+    deterministic letter-frequency ranking, pure column algebra."""
+    from geotrellis_landsat_emr_demo_spark.operators.textops import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d)
+
+
+def sql_lang_id():
+    def freq(ch):
+        return (
+            f"(length(lower(text)) - length(replace(lower(text), '{ch}', '')))"
+            f" / length(lower(text))"
+        )
+
+    e, a, o, i, n = (freq(c) for c in "eaoin")
+    return f"""
+        SELECT doc_id, lang,
+               CASE WHEN {e} > {a} AND {e} > {o} THEN 'en'
+                    WHEN {a} > {o} AND {a} > {i} THEN 'es'
+                    WHEN {o} > {n} THEN 'fr'
+                    ELSE 'de' END AS predicted
+        FROM documents
+    """
+
+
 def q_lang_stats(spark, sf_dir):
     """Language rollup: docs/chars/token means per language tag."""
     d = _t(spark, sf_dir, "documents")
@@ -1164,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_stats": q_lang_stats,
+        "lang_id": q_lang_id,
         "embedding_knn": q_embedding_knn,
         "embedding_centroids": q_embedding_centroids,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1201,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": sql_quality_score(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "lang_stats": sql_lang_stats(),
+        "lang_id": sql_lang_id(),
         "embedding_knn": sql_embedding_knn(),
         "embedding_centroids": sql_embedding_centroids(),
         "embedding_near_dups": sql_embedding_near_dups(),
