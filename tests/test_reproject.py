@@ -57,6 +57,31 @@ def test_utm_roundtrip_and_known_points():
     assert 0 < ns < 10_000_000.0
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    zone=st.integers(1, 60),
+    north=st.booleans(),
+    dlng=st.floats(-3.0, 3.0, allow_nan=False),
+    lat=st.floats(-79.5, 83.5, allow_nan=False),
+)
+def test_utm_roundtrip_property(zone, north, dlng, lat):
+    """Property: forward∘inverse is identity to 1e-8 deg for any zone,
+    hemisphere, and in-zone coordinate; mercator chain closes to mm."""
+    lng = proj.utm_central_meridian_deg(zone) + dlng
+    e, n = proj.lnglat_to_utm(lng, lat, zone, north)
+    lng2, lat2 = proj.utm_to_lnglat(e, n, zone, north)
+    assert abs(float(lng2) - lng) < 1e-8
+    assert abs(float(lat2) - lat) < 1e-8
+    crs = f"EPSG:{(32600 if north else 32700) + zone}"
+    mx, my = proj.crs_to_mercator(np.array([e]), np.array([n]), crs)
+    e2, n2 = proj.mercator_to_crs(mx, my, crs)
+    assert abs(float(e2) - e) < 2e-3 and abs(float(n2) - n) < 2e-3
+
+
 def test_warp_matches_analytic_truth():
     """Warped pixels equal the analytic field sampled at destination pixel
     centers (PSNR >= 40 dB, the reference's lossy-parity bar)."""
