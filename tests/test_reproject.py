@@ -79,7 +79,7 @@ def test_utm_roundtrip_property(zone, north, dlng, lat):
     crs = f"EPSG:{(32600 if north else 32700) + zone}"
     mx, my = proj.crs_to_mercator(np.array([e]), np.array([n]), crs)
     e2, n2 = proj.mercator_to_crs(mx, my, crs)
-    assert abs(float(e2) - e) < 2e-3 and abs(float(n2) - n) < 2e-3
+    assert abs(float(e2[0]) - e) < 2e-3 and abs(float(n2[0]) - n) < 2e-3
 
 
 def test_warp_matches_analytic_truth():
