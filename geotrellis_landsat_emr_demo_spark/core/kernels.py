@@ -530,7 +530,10 @@ def merge_fragments_ranked(fragments, image_ids):
     # would truncate-collide; non-ASCII would flip UTF-8 vs str order and
     # silently break salted == unsalted merge equivalence)
     for iid in ids:
-        assert len(iid) <= 64 and iid.isascii(), f"image_id not ASCII<=64B: {iid!r}"
+        # ValueError, not assert: the guard must survive python -O, and a
+        # violation should read as a data error, not an internal bug
+        if len(iid) > 64 or not iid.isascii():
+            raise ValueError(f"image_id not ASCII<=64B: {iid!r}")
     rank_of = {iid: r for r, iid in enumerate(ids)}
     merged = np.zeros((nb, h, w), dtype=np.uint16)
     winner = np.full((nb, h, w), NO_WINNER, dtype=np.uint16)

@@ -344,6 +344,7 @@ def compact_tiles(
     import math
     import os as _os
 
+    base_snapshot = cat.snapshot_id()  # rewrite is based on this scan
     groups: dict = {}
     for path, meta in cat.file_entries(table):
         key = (meta or {}).get("layer"), (meta or {}).get("zoom")
@@ -375,8 +376,14 @@ def compact_tiles(
         report[f"{layer}:z{zoom}"] = (len(paths), len(staged))
     # replace() stores (path, None) tuples as plain entries, so pass
     # tuples uniformly
+    # optimistic concurrency: refuse to publish if any commit (e.g. a
+    # streaming append) landed after the scan — it would be silently
+    # dropped from the rewritten file list otherwise
     cat.replace(
-        table, new_files, markers={f"compact:{table}": {"groups": len(report)}}
+        table,
+        new_files,
+        markers={f"compact:{table}": {"groups": len(report)}},
+        expected_snapshot=base_snapshot,
     )
     return report
 

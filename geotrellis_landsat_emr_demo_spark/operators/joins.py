@@ -272,9 +272,15 @@ def knn_join(
             if world or (have >= row.k and dk < complete_radius) or have >= n_scenes:
                 done_ids.add(row.query_id)
         if done_ids:
-            kept.append(cand.filter(F.col("query_id").isin(list(done_ids))))
-        else:
-            cand.unpersist()
+            # materialize the (small: k rows per resolved query) kept slice
+            # so cand's cache can be freed NOW — persisted rounds used to
+            # outlive the call, accumulating executor storage per query
+            kept.append(
+                cand.filter(F.col("query_id").isin(list(done_ids))).localCheckpoint(
+                    eager=True
+                )
+            )
+        cand.unpersist()
         unresolved = unresolved[~unresolved["query_id"].isin(done_ids)]
         r *= 2
     scene_cells.unpersist()

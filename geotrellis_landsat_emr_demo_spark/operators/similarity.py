@@ -85,6 +85,23 @@ def _planes(dim: int, bits: int, table: int = 0, seed: int = 1337) -> np.ndarray
     return rng.standard_normal((bits, dim))
 
 
+def adaptive_bits(n: int, target_bucket: int = 32, floor_bits: int = 4) -> int:
+    """Scale the LSH hash width with the corpus: ``bits ~ log2(N /
+    target_bucket)`` keeps the expected bucket occupancy near
+    ``target_bucket`` as N grows, so candidate pairs per table are
+    ~``N * target_bucket / 2`` — LINEAR in N.  A fixed ``bits`` makes
+    candidates ~``N^2 / 2^bits`` — quadratic, the scale-killer at 100 TB.
+
+    The recall trade: per-table collision prob at angle θ is
+    ``(1 - θ/π)^bits``, so larger corpora (more bits) need more ``tables``
+    for the same recall — e.g. near-dups at cosine >= 0.9 (θ <= 26°,
+    p1 = 0.857/bit): 8 tables give ~99.8% at bits=4, ~98% at bits=6,
+    ~94% at bits=8; raise ``tables`` ~1/p1^Δbits to hold recall."""
+    import math
+
+    return max(floor_bits, math.ceil(math.log2(max(1.0, n / target_bucket))))
+
+
 def _table_buckets(df, vec_col, bits, tables, dim):
     """One (table, bucket) row per hash table per vector, via posexplode.
 
@@ -111,32 +128,45 @@ def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int = 4,
+    bits: int | None = 4,
     tables: int = 8,
     dim: int = 64,
     multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Approximate top-k: multi-table signed-random-projection LSH + exact
     re-rank of the bucket-local candidates.
 
     ``tables`` independent hash tables (union of candidates) trade compute
     for recall; ``multiprobe`` additionally probes hamming-1 buckets of
-    each table.  At 100-TB scale the base side is hashed once per table
-    (one explode + one shuffle on (tbl, bucket)); queries broadcast;
-    candidate count ~ tables * N / 2^bits per query instead of N."""
+    each table (bits+1 probes per table — ~(bits+1)x the candidates for
+    the recall of ~2x the tables; set 0 to skip).  ``bits=None`` picks
+    :func:`adaptive_bits` from the corpus count so candidates stay linear
+    in N.  The corpus is hashed once into a NARROW (id, tbl, bucket)
+    relation (checkpointed — every probe branch reads it instead of
+    re-running the Arrow matmul), candidates dedupe on scalar ids only,
+    and vectors are joined back once for the exact re-rank; queries
+    broadcast.  Candidate count ~ tables * N / 2^bits per query."""
+    if bits is None:
+        bits = adaptive_bits(embeddings.count(), target_bucket)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    base_keyed = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-    ).repartition(par)
     base = _table_buckets(
-        base_keyed.withColumn("v", F.col("nvec")), "v", bits, tables, dim
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+        .repartition(par),
+        "v",
+        bits,
+        tables,
+        dim,
+    ).localCheckpoint(eager=True)
+    q = _table_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")),
+        "v",
+        bits,
+        tables,
+        dim,
     )
-    q_keyed = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    q = _table_buckets(q_keyed.withColumn("v", F.col("qvec")), "v", bits, tables, dim)
     if multiprobe:
         probes = F.array(
             [F.col("bucket")]
@@ -146,20 +176,23 @@ def lsh_topk(
             ]
         )
         q = q.withColumn("bucket", F.explode(probes))
-    q = F.broadcast(q)
-    j = q.join(base, ["tbl", "bucket"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    # cosine per candidate occurrence, then dedupe on the 3 scalar columns
-    # (cheaper than shuffling vector payloads through a distinct)
-    j = with_cosine(j, "qvec", "nvec")
     cand = (
-        j.groupBy("query_id", "neighbor_id")
-        .agg(F.first("cosine").alias("cosine"))
+        F.broadcast(q)
+        .join(base, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    nv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = with_cosine(cand.join(qv, "query_id").join(nv, "neighbor_id"), "qvec", "nvec")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -207,71 +240,115 @@ def ivf_topk(
     ``n_centroids`` inverted lists (each vector -> its nearest centroid),
     probe the query's ``nprobe`` nearest lists, exact cosine re-rank.
 
-    The 100-TB shape: the corpus is hashed once into lists (one narrow
-    shuffle on cell), candidates per query ~ nprobe * N / n_centroids
-    instead of N; queries broadcast.  Returns (query_id, neighbor_id,
-    cosine, rank)."""
+    The 100-TB shape: the corpus is hashed once into a NARROW (id, cell)
+    relation (checkpointed — the list assignment never re-runs), candidates
+    per query ~ nprobe * N / n_centroids instead of N; queries broadcast;
+    vectors join back once for the exact re-rank.  Returns (query_id,
+    neighbor_id, cosine, rank)."""
     cents = _ivf_centroids(n_centroids, dim)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    base_keyed = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-    ).repartition(par)
     base = _ivf_cells(
-        base_keyed.withColumn("v", F.col("nvec")), "v", cents, nprobe=1
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+        .repartition(par),
+        "v",
+        cents,
+        nprobe=1,
+    ).localCheckpoint(eager=True)
+    q = _ivf_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")),
+        "v",
+        cents,
+        nprobe,
     )
-    q_keyed = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    cand = (
+        F.broadcast(q)
+        .join(base, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    q = F.broadcast(
-        _ivf_cells(q_keyed.withColumn("v", F.col("qvec")), "v", cents, nprobe)
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     )
-    j = q.join(base, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    j = with_cosine(j, "qvec", "nvec")
-    cand = j.groupBy("query_id", "neighbor_id").agg(F.first("cosine").alias("cosine"))
+    nv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = with_cosine(cand.join(qv, "query_id").join(nv, "neighbor_id"), "qvec", "nvec")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_candidate_pairs(
+    embeddings: DataFrame,
+    bits: int | None = None,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_bucket: int = 32,
+) -> DataFrame:
+    """Distinct SRP-LSH candidate pairs (id_a < id_b) — the blocking stage
+    shared by :func:`lsh_near_dup_pairs` (and testable on its own: with
+    ``bits=None`` the candidate count grows ~linearly in N, not N^2).
+
+    The bucketed relation is NARROW (id, tbl, bucket) and checkpointed so
+    the Arrow matmul runs once, not once per self-join side."""
+    if bits is None:
+        bits = adaptive_bits(embeddings.count(), target_bucket)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    b = _table_buckets(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .repartition(par),
+        "v",
+        bits,
+        tables,
+        dim,
+    ).localCheckpoint(eager=True)
+    x = b.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    y = b.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    return (
+        x.join(y, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 
 def lsh_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    bits: int = 4,
+    bits: int | None = 4,
     tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale: SRP-LSH
     bucket candidates (union over ``tables`` hash tables), exact cosine
     verify >= threshold.
 
     This is the 100-TB shape for near-dup detection — candidates come from
-    bucket equi-joins (expected bucket size N / 2^bits), never an all-pairs
-    self-join.  Recall is probabilistic: a pair at angle θ collides in one
-    table with prob (1 - θ/π)^bits; at near-dup thresholds (>= 0.9, θ <=
-    26°) eight 4-bit tables miss < 1%.  :func:`pairwise_near_dups` stays
-    the exact (blocked) baseline.  Returns (id_a, id_b, cosine)."""
+    bucket equi-joins, never an all-pairs self-join, and ``bits=None``
+    (recommended at scale) sizes the hash via :func:`adaptive_bits` so
+    expected candidates stay ~linear in N (fixed bits is quadratic:
+    ~tables * N^2 / 2^bits).  Recall is probabilistic: a pair at angle θ
+    collides in one table with prob (1 - θ/π)^bits; at near-dup
+    thresholds (>= 0.9, θ <= 26°) eight 4-bit tables miss < 1% — raise
+    ``tables`` with bits to hold recall (see :func:`adaptive_bits`).
+    :func:`pairwise_near_dups` stays the exact (blocked) baseline.
+    Returns (id_a, id_b, cosine)."""
+    cand = lsh_candidate_pairs(
+        embeddings, bits, tables, dim, id_col, vec_col, target_bucket
+    )
+    # join the (narrow) distinct pairs back to the vectors once per side —
+    # carrying vector payloads through the tables x collisions candidate
+    # set would shuffle each vector up to `tables` times
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    b = _table_buckets(
-        base.repartition(par).withColumn("v", F.col("vec")), "v", bits, tables, dim
-    )
-    # candidate dedup on ids ONLY — carrying the vector payloads through
-    # the tables x collisions candidate set would shuffle each vector up
-    # to `tables` times; instead join the (narrow) distinct pairs back to
-    # the vectors once per side
-    x = b.select(F.col("id").alias("id_a"), "tbl", "bucket")
-    y = b.select(F.col("id").alias("id_b"), "tbl", "bucket")
-    cand = (
-        x.join(y, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     j = with_cosine(cand.join(va, "id_a").join(vb, "id_b"), "vec_a", "vec_b")

@@ -25,8 +25,16 @@ Analysis family:
 At 100 TB the shapes matter more than the hashes: exact dedup is one
 shuffle on the fingerprint; LSH is explode(bands) + shuffle on band key
 (band cardinality >> doc count, so no hot keys); Jaccard shuffles on
-(bucket, token) — ultra-frequent tokens are the residual skew lever
-(cap or drop stopwords upstream for web corpora).
+(bucket, token) with exact prefix filtering bounding hot-token fan-out.
+
+Plan-reuse note: every pipeline here references its signature relation
+from more than one plan branch (banded explode + both self-join sides).
+Spark does NOT reuse a subtree across branches — each branch re-executes
+the full word-explode + aggregation (measured 3-8x on these pipelines) —
+so the signature relation is materialized once via ``localCheckpoint``
+(signatures are tiny relative to the corpus: a few hashes per doc).  On a
+real cluster swap ``localCheckpoint`` for a reliable ``checkpoint`` dir
+if executor loss mid-query must not fail the job.
 """
 
 from __future__ import annotations
@@ -141,7 +149,10 @@ def minhash_portable_signatures(
     min + group by) the exact same values are computable by any engine —
     this is the oracle-checkable formulation of the dedup pipeline.
     Returns (doc_id, h0..h{n-1} string)."""
-    sh = docs.select(
+    # small parquet inputs arrive as ONE scan partition; spread the docs
+    # first or the explode + md5 partial-aggregation runs in a single task
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
         "doc_id", F.explode(_shingles_col(F.col("text"), shingle_k)).alias("s")
     )
     aggs = [
@@ -164,7 +175,12 @@ def minhash_portable_pairs(
     with corpus size so no hot keys. Returns (doc_a, doc_b, est_jaccard)."""
     assert n_hashes % bands == 0, "n_hashes must divide evenly into bands"
     rows = n_hashes // bands
-    sigs = minhash_portable_signatures(docs, n_hashes, shingle_k)
+    # materialize the signatures ONCE: they feed the banded explode AND
+    # both verify sides — unpersisted, Spark re-executes the shingle
+    # explode + n_hashes md5-min aggregation once per branch (3x measured)
+    sigs = minhash_portable_signatures(docs, n_hashes, shingle_k).localCheckpoint(
+        eager=True
+    )
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -267,7 +283,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from banded LSH,
     verified by exact signature-estimated Jaccard >= threshold."""
-    sigs = minhash_signatures(docs, n_hashes, shingle_k)
+    # signatures feed lsh_pairs (twice: both join sides) and both verify
+    # sides — materialize once so the Arrow MinHash UDF runs one pass
+    sigs = minhash_signatures(docs, n_hashes, shingle_k).localCheckpoint(eager=True)
     cand = lsh_pairs(sigs, bands).select("doc_a", "doc_b").distinct()
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -326,7 +344,10 @@ def _simhash_votes(words_df: DataFrame) -> DataFrame:
 def _simhash_full(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, v0..v63) — simhash plus the per-bit votes the
     block tables are sliced from."""
-    words = docs.select(
+    # spread the (often single-partition) doc scan before the word explode
+    # so the md5 + 64-vote partial aggregation parallelizes
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    words = docs.repartition(par).select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     )
     v = _simhash_votes(words)
@@ -370,19 +391,25 @@ def simhash_near_pairs(
     Recall model: exact for hamming <= n_blocks - 1 (pigeonhole: some block
     must be untouched); above that a pair is found iff its differing bits
     spare one block — callers wanting guarantees at larger radii raise
-    n_blocks.  Returns (doc_a, doc_b, hamming)."""
-    sh = simhash_blocks(_simhash_full(docs), n_blocks).select(
-        "doc_id", "simhash", *[f"block{t}" for t in range(n_blocks)]
+    n_blocks.  Returns (doc_a, doc_b, hamming).
+
+    Plan shape: the word-explode + 64-vote aggregation is computed ONCE
+    (checkpointed); block rows fan out of that single relation via one
+    posexplode instead of an n_blocks-way union (a union of branches over
+    the same source re-executes the source per branch — with both
+    self-join sides that was 2 * n_blocks full signature scans)."""
+    sh = (
+        simhash_blocks(_simhash_full(docs), n_blocks)
+        .select("doc_id", "simhash", *[f"block{t}" for t in range(n_blocks)])
+        .localCheckpoint(eager=True)
     )
-    per_block = [
-        sh.select(
-            "doc_id", "simhash", F.col(f"block{t}").alias("blk"), F.lit(t).alias("tbl")
-        )
-        for t in range(n_blocks)
-    ]
-    banded = per_block[0]
-    for p in per_block[1:]:
-        banded = banded.unionByName(p)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.col(f"block{t}") for t in range(n_blocks)])
+        ).alias("tbl", "blk"),
+    )
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(
@@ -411,49 +438,102 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------- jaccard --
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, bucket_col: str = "source", min_jaccard: float = 0.5
+    docs: DataFrame,
+    bucket_col: str = "source",
+    min_jaccard: float = 0.5,
+    lowercase: bool = True,
+    split_pattern: str = r"\s+",
+    round_to: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard via an inverted-index token join.
+    """Exact token-set Jaccard via a PREFIX-FILTERED inverted-index join.
 
-    Instead of the all-pairs self-join within a bucket (O(n^2) per bucket —
-    quadratic on any popular bucket at scale), explode distinct tokens and
-    equi-join on (bucket, token): only pairs sharing >= 1 token are ever
-    materialized, |A ∩ B| falls out of a count, and |A ∪ B| = |A| + |B| −
-    |A ∩ B| from the per-doc set sizes.  Pairs with jaccard 0 share no
-    token, so for any min_jaccard > 0 the result set is identical to the
-    all-pairs formulation.  Shuffle key is (bucket, token); ultra-frequent
-    tokens (stopwords) are the residual skew lever — cap or drop them
-    upstream for web-scale corpora."""
+    Prefix filtering (Bayardo et al. WWW'07 / ppjoin): order every doc's
+    distinct tokens by a fixed global order; if J(A, B) >= t then the
+    first ``|A| - ceil(t*|A|) + 1`` tokens of A (its *prefix*) must share
+    a token with B's prefix.  So the inverted index only contains prefix
+    tokens — a ``1 - t`` fraction of each doc — and the result set is
+    still provably identical to the all-pairs formulation.  Candidates
+    are then verified exactly against the full token sets.
+
+    The global order is (xxhash64(token), token) — pseudo-random, so an
+    ultra-frequent token (stopword) lands in any given prefix with
+    probability ~``1 - t`` instead of always: hot-token fan-out on the
+    (bucket, token) shuffle key is bounded by construction, the skew
+    lever the plain inverted index lacked at web scale.  A length filter
+    (t*|A| <= |B| <= |A|/t, implied by J >= t) prunes the join further.
+
+    ``round_to`` reproduces serving formulations that threshold on a
+    rounded jaccard; the prefix threshold is relaxed by half an ulp of
+    the rounding so borderline pairs are never lost."""
     assert min_jaccard > 0, "inverted index cannot emit zero-overlap pairs"
+    t = float(min_jaccard)
+    # pairs at jaccard >= t - 0.5*10^-round_to can round up to >= t
+    t_pref = t - (0.5 * 10.0 ** -round_to) if round_to is not None else t
     par = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(par).select(
-        "doc_id",
-        F.col(bucket_col).alias("bucket"),
-        F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")).alias("toks"),
+    text = F.lower(F.col("text")) if lowercase else F.col("text")
+    toks_raw = F.array_distinct(F.split(text, split_pattern))
+    # raw (unsorted) token sets: the verify sides only need set semantics
+    # (array_intersect), so the hash-sort is paid on the index side alone
+    base = (
+        docs.repartition(par)
+        .select("doc_id", F.col(bucket_col).alias("bucket"), toks_raw.alias("toks"))
+        .withColumn("n", F.size("toks"))
     )
-    sized = toks.select("doc_id", "bucket", "toks", F.size("toks").alias("n"))
-    inv = sized.select("doc_id", "bucket", "n", F.explode("toks").alias("tok"))
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("toks"),
+                lambda tok: F.struct(F.xxhash64(tok).alias("h"), tok.alias("tok")),
+            )
+        ),
+        lambda s: s["tok"],
+    )
+    # prefix length |A| - ceil(t*|A|) + 1; the 1e-9 guards float ceil at
+    # exact multiples (ceil(0.7*10) must be 7, not 8)
+    plen = F.greatest(
+        F.lit(1),
+        F.col("n")
+        - F.ceil(F.lit(t_pref) * F.col("n") - F.lit(1e-9)).cast("int")
+        + F.lit(1),
+    )
+    inv = base.select(
+        "doc_id",
+        "bucket",
+        "n",
+        F.explode(F.slice(ordered, F.lit(1), plen)).alias("tok"),
+    )
     x, y = inv.alias("x"), inv.alias("y")
-    inter = (
+    cand = (
         x.join(
             y,
             (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.tok") == F.col("y.tok"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("y.n") >= F.lit(t_pref) * F.col("x.n") - F.lit(1e-9))
+            & (F.col("x.n") >= F.lit(t_pref) * F.col("y.n") - F.lit(1e-9)),
         )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.n").alias("n_a"),
-            F.col("y.n").alias("n_b"),
-        )
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
     )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    if round_to is not None:
+        jac = F.round(jac, round_to)
     return (
-        inter.withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
     )

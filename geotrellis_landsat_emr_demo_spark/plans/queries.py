@@ -290,12 +290,14 @@ class LayerService:
         collection-only when serving Spark-free."""
         import time as _time
 
-        from pyspark.sql import functions as _F  # noqa: F401
-
         out = []
         for i in range(1, reps + 1):
             row: dict = {"n": str(i)}
             if self.spark is not None:
+                # imported here so the collection-only path (a serving
+                # process without pyspark installed) never needs pyspark
+                from pyspark.sql import functions as _F
+
                 t0 = _time.time()
                 files = self.cat.files("tiles", layer=layer, zoom=int(zoom))
                 cnt = (

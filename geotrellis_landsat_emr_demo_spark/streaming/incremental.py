@@ -132,6 +132,7 @@ def compact_incremental(spark: SparkSession, cat: Catalog, layer: str) -> int:
     untouched).  Old generations stay on disk, readable through the
     pre-compaction snapshot (time travel), exactly like Iceberg's
     rewrite.  Returns the resolved row count."""
+    base_snapshot = cat.snapshot_id()  # rewrite is based on this scan
     resolved = read_incremental_tiles(spark, cat, layer)
     gen = int(resolved.agg(F.max("gen")).collect()[0][0])
     # stamp every surviving row with the compaction generation — the
@@ -144,10 +145,13 @@ def compact_incremental(spark: SparkSession, cat: Catalog, layer: str) -> int:
         for p, m in cat.file_entries("tiles_incremental")
         if (m or {}).get("layer") != layer
     ]
+    # refuse to publish over a commit that landed after the scan (a racing
+    # streaming append would otherwise vanish from the new manifest)
     cat.replace(
         "tiles_incremental",
         keep + [(f, {"layer": layer, "gen": gen, "compacted": True}) for f in files],
         markers={f"compact:{layer}": {"gen": gen}},
+        expected_snapshot=base_snapshot,
     )
     return cat.read_arrow(
         "tiles_incremental", columns=["layer"], layer=layer
