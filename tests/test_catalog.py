@@ -100,3 +100,41 @@ def test_rollback_and_time_travel():
     # roll forward again via the preserved snapshot-2 manifest
     cat.rollback(2)
     assert sorted(cat.read_pandas("t")["a"]) == [1, 2]
+
+
+def test_replace_optimistic_concurrency():
+    """replace(expected_snapshot=...) is the Iceberg-style commit guard: a
+    commit landing between a rewrite's scan and its publish must raise
+    CommitConflict instead of silently dropping the racing files."""
+    import pytest
+
+    from geotrellis_landsat_emr_demo_spark.catalog import CommitConflict
+
+    cat = _cat("c6")
+    cat.append_pandas(pd.DataFrame({"a": [1]}), "t")
+    base = cat.snapshot_id()
+    files = [p for p, _ in cat.file_entries("t")]
+    # racing append lands after the scan
+    cat.append_pandas(pd.DataFrame({"a": [2]}), "t")
+    with pytest.raises(CommitConflict):
+        cat.replace("t", [(files[0], None)], expected_snapshot=base)
+    # the racing row survived (the rewrite was refused)
+    assert sorted(cat.read_pandas("t")["a"]) == [1, 2]
+    # retry from the fresh snapshot succeeds
+    fresh = cat.snapshot_id()
+    keep = [(p, m) for p, m in cat.file_entries("t")]
+    assert cat.replace("t", keep, expected_snapshot=fresh) > fresh
+
+
+def test_manifest_cache_invalidates_on_external_write():
+    """The mtime/size-keyed manifest cache must see commits made through a
+    DIFFERENT Catalog instance (e.g. a serving process next to an ingest
+    job) — the cache key is the file stat, not process state."""
+    cat_w = _cat("c7")
+    cat_w.append_pandas(pd.DataFrame({"a": [1]}), "t")
+    cat_r = Catalog(cat_w.root)
+    assert cat_r.snapshot_id() == cat_w.snapshot_id()
+    s0 = cat_r.snapshot_id()
+    cat_w.append_pandas(pd.DataFrame({"a": [2]}), "t")
+    assert cat_r.snapshot_id() == s0 + 1  # cache invalidated by new stat
+    assert sorted(cat_r.read_pandas("t")["a"]) == [1, 2]

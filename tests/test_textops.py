@@ -322,3 +322,97 @@ def test_pairwise_near_dups_blocked(emb):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(cos - r.cosine) < 1e-9
         assert cos >= 0.4
+
+
+def test_prefix_filter_bounds_hot_tokens(spark):
+    """Stopword-dense corpus: a token present in EVERY doc must not land in
+    every doc's prefix (that would rebuild the quadratic hot-key fan-out).
+    With the rarest-first (ascending document frequency) global order the
+    stopwords sort last in every doc, so they (almost) never enter the
+    index — and the result set is still exactly the all-pairs answer."""
+    import random
+
+    rng = random.Random(7)
+    stop = "the of and to in is was for on that"  # 10 stopwords, every doc
+    rows = []
+    for i in range(300):
+        uniq = " ".join(f"w{i}_{j}" for j in range(rng.randint(8, 14)))
+        rows.append(
+            dict(doc_id=i, source="web", text=f"{stop} {uniq}", lang="en",
+                 n_chars=60)
+        )
+    # planted near-dup pair: same uniq tail
+    rows.append(dict(doc_id=9000, source="web",
+                     text=rows[0]["text"] + " tailword", lang="en", n_chars=61))
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    t = 0.7
+    base = textops._token_base(docs, "source", True, r"\s+")
+    full_rows = base.select(F.explode("hs")).count()
+    hot = textops._hot_hashes(base, 256)
+    assert len(hot) == 10  # exactly the 10 planted stopwords exceed df=256
+    idx = textops._prefix_index(base, t, hot=hot)
+    idx_rows = idx.count()
+    # prefix fraction ~ (1 - t) + 1 token; give slack but require a real cut
+    assert idx_rows < 0.55 * full_rows, (idx_rows, full_rows)
+    # hot-token fan-out: a universal stopword sorts last everywhere, so it
+    # is indexed (almost) nowhere — each doc's prefix is filled by its
+    # unique df=1 tokens first
+    hot_fanout = (
+        idx.filter(F.col("h").isin(*[int(h) for h in hot]))
+        .groupBy("h")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hot_fanout is None or hot_fanout <= 3, hot_fanout
+    # exact parity with brute force at this threshold
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in textops.ngram_jaccard_pairs(docs, "source", t).collect()
+    }
+    texts = {r["doc_id"]: set(r["text"].lower().split()) for r in rows}
+    ids = sorted(texts)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(texts[a] & texts[b]) / len(texts[a] | texts[b])
+            if j >= t:
+                brute[(a, b)] = j
+    assert (0, 9000) in brute  # fixture sanity: planted pair survives t
+    assert got.keys() == brute.keys()
+    for k in brute:
+        assert abs(got[k] - brute[k]) < 1e-9
+
+
+def test_adaptive_bits_linear_candidates(spark):
+    """bits=None scales the SRP hash width with the corpus: growing N 10x
+    grows the LSH candidate-pair count ~linearly (fixed bits would be
+    ~100x / quadratic)."""
+    assert similarity.adaptive_bits(500) == 4
+    assert similarity.adaptive_bits(5000) == 8
+    assert similarity.adaptive_bits(5_000_000) == 18
+    assert similarity.adaptive_bits(10) == 4  # floor
+
+    rng = np.random.default_rng(11)
+
+    def corpus(n):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype="int64"),
+                "embedding": list(rng.standard_normal((n, 64)).astype("f8")),
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    small, big = corpus(300), corpus(3000)
+    c_small = similarity.lsh_candidate_pairs(small, bits=None, tables=4).count()
+    c_big = similarity.lsh_candidate_pairs(big, bits=None, tables=4).count()
+    assert c_small > 0 and c_big > 0
+    growth = c_big / c_small
+    # linear would be ~10x (modulo bucket-occupancy variance); quadratic
+    # (fixed bits) would be ~100x.  adaptive_bits(300)=4, adaptive_bits(3000)=7
+    assert growth < 25, growth
+    # and fixed bits IS quadratic on the same corpora — the contrast
+    f_small = similarity.lsh_candidate_pairs(small, bits=4, tables=4).count()
+    f_big = similarity.lsh_candidate_pairs(big, bits=4, tables=4).count()
+    assert f_big / f_small > 40, f_big / f_small
