@@ -706,6 +706,55 @@ def sql_lang_id():
     """
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Char-trigram naive-Bayes language ID, self-trained on the corpus's
+    own labels (engine: operators.textops.lang_id_ngram): learn top-300
+    smoothed trigram log-prob profiles per language, score every doc
+    against every profile (unseen grams pay the per-language floor),
+    predict the argmax with a (score desc, lang asc) tie-break.  The
+    whole model — training and inference — is two aggregations plus a
+    broadcast join, re-derivable in plain SQL (the oracle twin)."""
+    from geotrellis_landsat_emr_demo_spark.operators.textops import lang_id_ngram
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id_ngram(d, gram_n=3, top_k=300, max_chars=400, round_to=4)
+
+
+def sql_lang_id_ngram():
+    return """
+        WITH t AS (
+            SELECT doc_id, lang, lower(substr(text, 1, 400)) AS tx
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, lang, g AS gram
+            FROM t, unnest([substr(tx, i, 3)
+                            FOR i IN range(1, greatest(length(tx) - 2, 1) + 1)]) AS u(g)
+        ), cnt AS (
+            SELECT lang, gram, count(*) AS c FROM grams GROUP BY lang, gram
+        ), tot AS (
+            SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY lang
+        ), prof AS (
+            SELECT cnt.lang, gram, ln((c + 1.0) / (tot + 301.0)) AS logp
+            FROM cnt JOIN tot ON cnt.lang = tot.lang
+            QUALIFY row_number() OVER (
+                PARTITION BY cnt.lang ORDER BY c DESC, gram ASC) <= 300
+        ), floors AS (
+            SELECT lang, ln(1.0 / (tot + 301.0)) AS floor FROM tot
+        ), scored AS (
+            SELECT g.doc_id, g.lang AS lang_true, f.lang,
+                   round(sum(coalesce(p.logp, f.floor)), 4) AS score
+            FROM grams g
+            CROSS JOIN floors f
+            LEFT JOIN prof p ON p.lang = f.lang AND p.gram = g.gram
+            GROUP BY g.doc_id, g.lang, f.lang
+        )
+        SELECT doc_id, lang_true AS lang, lang AS predicted
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+    """
+
+
 def q_lang_stats(spark, sf_dir):
     """Language rollup: docs/chars/token means per language tag."""
     d = _t(spark, sf_dir, "documents")
@@ -1175,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_stats": q_lang_stats,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "embedding_knn": q_embedding_knn,
         "embedding_centroids": q_embedding_centroids,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1213,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": sql_doc_fingerprint(),
         "lang_stats": sql_lang_stats(),
         "lang_id": sql_lang_id(),
+        "lang_id_ngram": sql_lang_id_ngram(),
         "embedding_knn": sql_embedding_knn(),
         "embedding_centroids": sql_embedding_centroids(),
         "embedding_near_dups": sql_embedding_near_dups(),

@@ -4,7 +4,10 @@ The Spark-side plumbing (schemas, Arrow batch shapes, partitioning) is real
 and tested; decoders for container formats whose libraries are not in this
 image (jpeg/webp/mp4/...) are STUBBED behind a clearly-marked
 ``NotImplementedError`` — the engine's own payload formats (npy-u16[-z],
-png-u16, jq75; core/kernels.py) decode for real.
+png-u16, jq75; core/kernels.py) decode for real, and foreign codecs plug
+in through :func:`register_decoder` (closure-snapshotted per operator so
+registrations reach remote executors; seam proven by the toy-codec e2e
+test).
 
 Operators:
 - :func:`decode_stats`   decode + per-band statistics (mapInPandas)
@@ -27,25 +30,58 @@ from ..core import kernels
 
 SUPPORTED_FMTS = {"npy-u16", "npy-u16-z", "jq75", "png-u16"}
 
+# Pluggable decoder seam for foreign container formats (jpeg/webp/mp4...):
+# fmt -> callable(bytes) -> ndarray.  A real deployment registers e.g.
+#   register_decoder("jpeg", lambda b: np.asarray(PIL.Image.open(BytesIO(b))))
+# Registrations are snapshotted INTO each operator's closure at plan-build
+# time (see _decoder_snapshot), so they serialize with the mapInPandas
+# function and work on remote executors — a module-global lookup at decode
+# time would only work in local mode.
+_DECODERS: dict = {}
 
-def _decode(payload: bytes, fmt: str) -> np.ndarray:
+
+def register_decoder(fmt: str, fn) -> None:
+    """Plug a foreign-format decoder: ``fn(payload: bytes) -> ndarray``
+    shaped (bands, h, w) or (h, w); values are cast to the engine's uint16
+    band layout.  Takes effect for operators PLANNED after registration."""
+    _DECODERS[fmt] = fn
+
+
+def unregister_decoder(fmt: str) -> None:
+    _DECODERS.pop(fmt, None)
+
+
+def _decoder_snapshot() -> dict:
+    return dict(_DECODERS)
+
+
+def _decode(payload: bytes, fmt: str, extra: dict | None = None) -> np.ndarray:
     if fmt in SUPPORTED_FMTS:
         return kernels.decode_payload(payload)
+    dec = (extra or {}).get(fmt)
+    if dec is not None:
+        arr = np.asarray(dec(payload))
+        if arr.ndim == 2:
+            arr = arr[None, :, :]
+        if arr.ndim != 3:
+            raise ValueError(f"decoder for {fmt!r} returned ndim={arr.ndim}")
+        return np.ascontiguousarray(arr).astype(np.uint16, copy=False)
     # external container formats: decoder libs not present in this image
     raise NotImplementedError(
         f"decoder for fmt={fmt!r} requires an image library not present in "
-        "this environment; plug one into operators.multimodal._decode"
+        "this environment; plug one in via operators.multimodal.register_decoder"
     )
 
 
 def decode_stats(images: DataFrame) -> DataFrame:
     """Per-image, per-band stats over decoded pixels (data cells only)."""
+    decoders = _decoder_snapshot()  # captured -> serialized to executors
 
     def fn(batches):
         for pdf in batches:
             rows = dict(image_id=[], band=[], n_data=[], mean=[], p_min=[], p_max=[])
             for r in pdf.itertuples(index=False):
-                arr = _decode(r.bytes, r.fmt)
+                arr = _decode(r.bytes, r.fmt, decoders)
                 for b in range(arr.shape[0]):
                     band = arr[b]
                     data = band[band != 0]
@@ -66,12 +102,13 @@ def decode_stats(images: DataFrame) -> DataFrame:
 def thumbnails(images: DataFrame, size: int = 64, out_fmt: str = "npy-u16-z") -> DataFrame:
     """Decode -> NaN-aware bilinear resize to (size, size) -> re-encode.
     Caption and id carried through (the multimodal resize op)."""
+    decoders = _decoder_snapshot()  # captured -> serialized to executors
 
     def fn(batches):
         for pdf in batches:
             out = dict(image_id=[], caption=[], w=[], h=[], fmt=[], thumb=[])
             for r in pdf.itertuples(index=False):
-                arr = _decode(r.bytes, r.fmt)
+                arr = _decode(r.bytes, r.fmt, decoders)
                 nb, h, w = arr.shape
                 th = kernels.regrid_to_extent(
                     arr, (0.0, 0.0, float(w), float(h)), (0.0, 0.0, float(w), float(h)),
@@ -118,12 +155,13 @@ def image_ahash(images: DataFrame, hash_size: int = 8) -> DataFrame:
     to hash_size x hash_size, bit = cell > mean.  Identical pixels ->
     identical hash; small edits -> small hamming distance.  Returns
     (image_id, ahash bigint)."""
+    decoders = _decoder_snapshot()  # captured -> serialized to executors
 
     def fn(batches):
         for pdf in batches:
             out = dict(image_id=[], ahash=[])
             for r in pdf.itertuples(index=False):
-                arr = _decode(r.bytes, r.fmt)
+                arr = _decode(r.bytes, r.fmt, decoders)
                 nb, h, w = arr.shape
                 small = kernels.regrid_to_extent(
                     arr[:1],
@@ -153,12 +191,13 @@ def image_features(images: DataFrame, grid: int = 4) -> DataFrame:
     ``array<float>`` embedding column — directly consumable by the
     similarity operators (cosine_topk / lsh_near_dup_pairs / ivf_topk).
     Returns (image_id, caption, embedding array<float>)."""
+    decoders = _decoder_snapshot()  # captured -> serialized to executors
 
     def fn(batches):
         for pdf in batches:
             out = dict(image_id=[], caption=[], embedding=[])
             for r in pdf.itertuples(index=False):
-                arr = _decode(r.bytes, r.fmt)
+                arr = _decode(r.bytes, r.fmt, decoders)
                 nb, h, w = arr.shape
                 small = kernels.to_double(
                     kernels.regrid_to_extent(

@@ -53,8 +53,14 @@ def cosine_topk(
     exclude_self: bool = True,
 ) -> DataFrame:
     """Exact brute-force ANN baseline: broadcast queries x all vectors,
-    cosine, row_number <= k. Returns (query_id, neighbor_id, cosine, rank).
-    """
+    cosine, two-phase top-k. Returns (query_id, neighbor_id, cosine, rank).
+
+    The top-k is TWO-PHASE (the q_knn_points pattern): a local pass keyed
+    by (query_id, scan partition) keeps k rows per query per partition, so
+    no single window partition ever holds a whole query's N candidates —
+    a global window on query_id alone would pin one task per query on the
+    full corpus at scale.  The final window then ranks only ~k * P rows
+    per query."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -69,12 +75,20 @@ def cosine_topk(
     j = q.crossJoin(base)
     if exclude_self:
         j = j.filter(F.col("query_id") != F.col("neighbor_id"))
-    j = with_cosine(j, "qvec", "nvec")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+    j = with_cosine(j, "qvec", "nvec").select("query_id", "neighbor_id", "cosine")
+    order = (F.desc("cosine"), F.asc("neighbor_id"))
+    # phase 1: top-k per (query, source partition) — bounded window groups
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    local = (
+        j.withColumn("pid", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= k)
+        .drop("pid", "lr")
     )
+    # phase 2: global rank over the ~k * P survivors per query
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -283,3 +283,53 @@ def test_windowed_scene_stats_streaming(spark):
         .reset_index(drop=True)
     )
     assert got.equals(expect)
+
+
+def test_decoder_registry_seam(spark):
+    """The pluggable foreign-codec seam: register a toy codec, run the
+    full decode_stats / thumbnails / image_features pipelines through it
+    end-to-end (closure-captured, so it would reach remote executors),
+    then unregister and see the honest NotImplementedError surface."""
+    import struct
+
+    def toy_encode(arr):  # (bands, h, w) uint16 -> bytes
+        nb, h, w = arr.shape
+        return struct.pack("<3H", nb, h, w) + arr.astype("<u2").tobytes()
+
+    def toy_decode(payload):
+        nb, h, w = struct.unpack("<3H", payload[:6])
+        return np.frombuffer(payload[6:], dtype="<u2").reshape(nb, h, w)
+
+    rng = np.random.default_rng(3)
+    arrs = {f"toy-{i}": rng.integers(1, 60000, (2, 16, 16)).astype("u2") for i in range(3)}
+    pdf = pd.DataFrame(
+        [
+            dict(image_id=k, caption=f"cap {k}", fmt="toy-rgb", bytes=toy_encode(a))
+            for k, a in arrs.items()
+        ]
+    )
+    df = spark.createDataFrame(pdf)
+    multimodal.register_decoder("toy-rgb", toy_decode)
+    try:
+        stats = multimodal.decode_stats(df).toPandas()
+        for k, a in arrs.items():
+            b0 = a[0][a[0] != 0]
+            row = stats[(stats.image_id == k) & (stats.band == 0)].iloc[0]
+            assert row.n_data == b0.size
+            assert abs(row["mean"] - float(b0.mean())) < 1e-9
+        th = multimodal.thumbnails(df, size=8).toPandas()
+        assert len(th) == 3 and all(th.w == 8)
+        feats = multimodal.image_features(df, grid=2).toPandas()
+        assert all(len(v) == 2 * 2 * 2 for v in feats.embedding)
+        # plan built BEFORE unregistration keeps working (snapshot capture)
+        planned = multimodal.decode_stats(df)
+        multimodal.unregister_decoder("toy-rgb")
+        assert len(planned.toPandas()) == 3 * 2
+    finally:
+        multimodal.unregister_decoder("toy-rgb")
+    # without the decoder the stub surfaces honestly
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_stats(df).toPandas()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

@@ -416,3 +416,97 @@ def test_adaptive_bits_linear_candidates(spark):
     f_small = similarity.lsh_candidate_pairs(small, bits=4, tables=4).count()
     f_big = similarity.lsh_candidate_pairs(big, bits=4, tables=4).count()
     assert f_big / f_small > 40, f_big / f_small
+
+
+def test_lang_id_ngram_accuracy(spark):
+    """Char-trigram naive-Bayes LID: train profiles on a labeled
+    multilingual fixture, classify held-out sentences from the same
+    languages — accuracy must be >= 0.9 (the letter-frequency toy scores
+    near chance on this fixture)."""
+    corpus = {
+        "en": [
+            "the quick brown fox jumps over the lazy dog near the river bank",
+            "she sells sea shells by the sea shore every summer morning",
+            "a journey of a thousand miles begins with a single step forward",
+            "it was the best of times and it was the worst of times indeed",
+            "all the world is a stage and the people merely players upon it",
+            "to be or not to be that is the question we must answer today",
+            "the rain in spain falls mainly on the plain during the spring",
+            "every good boy deserves fudge and every girl deserves the same",
+            "there is nothing either good or bad but thinking makes it so",
+            "we hold these truths to be self evident that all are created equal",
+            "ask not what your country can do for you ask what you can do",
+            "the only thing we have to fear is fear itself said the president",
+            "in the beginning there was the word and the word was with light",
+        ],
+        "es": [
+            "el rapido zorro marron salta sobre el perro perezoso junto al rio",
+            "ella vende conchas de mar en la orilla todas las mananas de verano",
+            "un viaje de mil millas comienza con un solo paso hacia adelante",
+            "eran los mejores tiempos y eran los peores tiempos de verdad",
+            "todo el mundo es un escenario y las personas son actores en el",
+            "ser o no ser esa es la pregunta que debemos responder hoy mismo",
+            "la lluvia en espana cae principalmente en la llanura en primavera",
+            "cada buen chico merece dulces y cada chica merece lo mismo tambien",
+            "no hay nada bueno ni malo pero el pensamiento lo hace asi siempre",
+            "sostenemos estas verdades como evidentes que todos son iguales",
+            "no preguntes que puede hacer tu pais por ti sino que puedes hacer tu",
+            "lo unico que debemos temer es el miedo mismo dijo el presidente",
+            "en el principio existia la palabra y la palabra estaba con la luz",
+        ],
+        "fr": [
+            "le rapide renard brun saute par dessus le chien paresseux pres de la riviere",
+            "elle vend des coquillages au bord de la mer chaque matin d ete",
+            "un voyage de mille lieues commence par un seul pas en avant",
+            "c etait le meilleur des temps et c etait le pire des temps vraiment",
+            "le monde entier est une scene et les gens sont des acteurs dessus",
+            "etre ou ne pas etre telle est la question que nous devons poser",
+            "la pluie en espagne tombe principalement dans la plaine au printemps",
+            "chaque bon garcon merite des bonbons et chaque fille aussi bien sur",
+            "il n y a rien de bon ni de mauvais mais la pensee le rend ainsi",
+            "nous tenons ces verites pour evidentes que tous sont egaux",
+            "ne demande pas ce que ton pays peut faire pour toi mais ce que tu peux",
+            "la seule chose que nous devons craindre est la peur elle meme",
+            "au commencement etait la parole et la parole etait avec la lumiere",
+        ],
+        "de": [
+            "der schnelle braune fuchs springt uber den faulen hund am flussufer",
+            "sie verkauft muscheln am meeresufer an jedem sommermorgen gerne",
+            "eine reise von tausend meilen beginnt mit einem einzigen schritt",
+            "es war die beste zeit und es war die schlechteste zeit wirklich",
+            "die ganze welt ist eine buhne und die menschen sind nur spieler",
+            "sein oder nicht sein das ist die frage die wir beantworten mussen",
+            "der regen in spanien fallt hauptsachlich in der ebene im fruhling",
+            "jeder gute junge verdient sussigkeiten und jedes madchen genauso",
+            "es gibt nichts gutes oder schlechtes nur das denken macht es so",
+            "wir halten diese wahrheiten fur selbstverstandlich dass alle gleich sind",
+            "frage nicht was dein land fur dich tun kann sondern was du tun kannst",
+            "das einzige was wir furchten mussen ist die furcht selbst sagte er",
+            "am anfang war das wort und das wort war bei dem licht von anfang",
+        ],
+    }
+    train_rows, test_rows = [], []
+    i = 0
+    for lang, sents in corpus.items():
+        for j, s in enumerate(sents):
+            row = dict(doc_id=i, lang=lang, text=s, source="fix", n_chars=len(s))
+            (train_rows if j < 10 else test_rows).append(row)
+            i += 1
+    train = spark.createDataFrame(pd.DataFrame(train_rows))
+    test = spark.createDataFrame(pd.DataFrame(test_rows))
+    profiles, floors = textops.lang_ngram_profiles(train, top_k=200)
+    out = textops.lang_id_ngram(test, profiles, floors, top_k=200).collect()
+    assert len(out) == len(test_rows)
+    acc = sum(1 for r in out if r.predicted == r.lang) / len(out)
+    assert acc >= 0.9, [(r.doc_id, r.lang, r.predicted) for r in out]
+    # self-trained path runs and is deterministic
+    a = {r.doc_id: r.predicted for r in textops.lang_id_ngram(train).collect()}
+    b = {r.doc_id: r.predicted for r in textops.lang_id_ngram(train).collect()}
+    assert a == b
+    # self-train on the training set classifies it near-perfectly
+    self_acc = sum(
+        1
+        for r in textops.lang_id_ngram(train).collect()
+        if r.predicted == r.lang
+    ) / len(train_rows)
+    assert self_acc >= 0.9
