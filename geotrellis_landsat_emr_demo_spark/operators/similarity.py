@@ -155,8 +155,10 @@ def lsh_topk(
 
     ``tables`` independent hash tables (union of candidates) trade compute
     for recall; ``multiprobe`` additionally probes hamming-1 buckets of
-    each table (bits+1 probes per table — ~(bits+1)x the candidates for
-    the recall of ~2x the tables; set 0 to skip).  ``bits=None`` picks
+    each table (bits+1 probes per table — ~(bits+1)x the candidates; set
+    0 to skip).  Measured at sf0.1 (5000 vectors, adaptive bits=8, 8
+    tables, k=10): recall@10 = 0.92 with multiprobe vs 0.35 without, for
+    ~0.4 s extra wall — see BENCH/BASELINE.md "ANN multiprobe".  ``bits=None`` picks
     :func:`adaptive_bits` from the corpus count so candidates stay linear
     in N.  The corpus is hashed once into a NARROW (id, tbl, bucket)
     relation (checkpointed — every probe branch reads it instead of
