@@ -606,6 +606,55 @@ def sql_ngram_jaccard():
     """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Dedup-cluster collapse: connected components over the near-dup
+    pair graph (engine: operators.graph.connected_components — alternating
+    large-star/small-star, Kiveris et al. SoCC'14, O(log^2 n) rounds, two
+    shuffles per round, no adjacency ever collected).  Labels every doc
+    appearing in a >= 0.7 Jaccard pair with its cluster's min doc_id —
+    the transitive closure that turns pairwise near-dup detection into an
+    actual deduplicated corpus."""
+    from geotrellis_landsat_emr_demo_spark.operators.graph import (
+        connected_components,
+    )
+    from geotrellis_landsat_emr_demo_spark.operators.textops import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d,
+        bucket_col="source",
+        min_jaccard=0.7,
+        lowercase=False,
+        split_pattern=" ",
+        round_to=3,
+    )
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+def sql_dedup_components():
+    # transitive closure via a recursive min-label reach over the same
+    # >= 0.7 Jaccard pair set the Spark side uses
+    return f"""
+        WITH RECURSIVE p AS ({sql_ngram_jaccard()}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM p
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM p
+        ),
+        reach(node, lab) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+        FROM reach GROUP BY node
+    """
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting: whitespace + regex-word tokens (engine:
     operators.textops.token_stats)."""
@@ -1219,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1258,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_bands": sql_dedup_minhash_bands(),
         "ngram_jaccard": sql_ngram_jaccard(),
+        "dedup_components": sql_dedup_components(),
         "token_stats": sql_token_stats(),
         "quality_score": sql_quality_score(),
         "doc_fingerprint": sql_doc_fingerprint(),

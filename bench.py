@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_bands",
     "ngram_jaccard",
+    "dedup_components",
     "quality_score",
     "embedding_knn",
     "embedding_near_dups",

@@ -1,0 +1,143 @@
+"""Distributed connected components — the dedup-cluster collapse stage.
+
+Near-dup detection (MinHash/SimHash/Jaccard/embedding-LSH, operators.
+textops / operators.similarity) emits PAIRS; deduplication needs the
+transitive closure: every document labeled with its duplicate-cluster id
+and one canonical keeper per cluster.  At 100 TB that closure is a
+connected-components problem on a graph with billions of edges.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+Beyond", SoCC 2014) — converges in O(log^2 n) rounds on any graph (in
+practice a handful), each round two shuffles (a groupBy-min and a join),
+no adjacency list is ever collected (hot nodes are handled by the
+groupBy's map-side combine, not a per-node list):
+
+- large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u})
+- small-star(u): connect every neighbor v <= u (and u) to
+  m = min({v in N(u): v <= u} ∪ {u})
+
+Fixpoint: every node points directly at its component's minimum id.
+Per-round ``localCheckpoint`` truncates the lineage (an iterative
+DataFrame chain otherwise re-plans the whole history each round and
+overwhelms the optimizer at depth ~10+).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions, self-loops dropped, deduped: (u, v)."""
+    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u; m(u) = min over N(u) ∪ {u}."""
+    m = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        e.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """(v, m) for neighbors v <= u plus (u, m); m = min over small
+    neighbors ∪ {u}."""
+    small = e.filter(F.col("v") <= F.col("u"))
+    m = (
+        small.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    pairs = small.join(m, "u").select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    self_edges = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return pairs.unionByName(self_edges)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every node of the (undirected) edge set with its component's
+    MINIMUM node id.  Returns (node, component); every node appearing in
+    ``edges`` gets a row (isolated nodes never enter the edge set — union
+    them in at the call site if needed).
+
+    Convergence is detected by the edge multiset reaching a fixpoint
+    (checksum + count — two cheap aggregations per round, the same
+    O(rounds) driver actions any iterative algorithm needs).  Raises if
+    ``max_iter`` rounds don't converge (O(log^2 n) expected; default 30
+    covers graphs far beyond any realistic corpus)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    def _sig(df: DataFrame):
+        # count + xor of row hashes: an order-insensitive set signature
+        # (xor, not sum — sum overflows bigint under ANSI mode)
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        return r.n, r.h
+
+    prev = None
+    for _ in range(max_iter):
+        e = _large_star(_sym(e)).distinct().localCheckpoint(eager=True)
+        e = _small_star(_sym(e)).distinct().localCheckpoint(eager=True)
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # at the fixpoint every edge is (node, component-min); nodes that ARE
+    # a component min appear only as dst — give them their own label
+    nodes = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    mins = e.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return (
+        nodes.unionByName(mins)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters over the full corpus: every
+    doc gets (doc_id, cluster, is_keeper).  Docs in no pair form singleton
+    clusters; the keeper is the cluster's min doc_id (first-wins, matching
+    exact_dedup / tile-merge semantics).  This is the last stage of the
+    dedup pipeline: filter ``is_keeper`` to materialize the deduplicated
+    corpus."""
+    comp = connected_components(pairs, src=a_col, dst=b_col)
+    out = docs.select(F.col(id_col).alias("node")).join(comp, "node", "left")
+    return out.select(
+        F.col("node").alias(id_col),
+        F.coalesce("component", "node").alias("cluster"),
+        (F.coalesce("component", "node") == F.col("node")).alias("is_keeper"),
+    )

@@ -12,14 +12,17 @@ Dedup family:
 - :func:`lsh_pairs`          banded LSH candidate pairs (explode + bucket join)
 - :func:`simhash64`          64-bit SimHash, pure Catalyst column algebra
 - :func:`simhash_near_pairs` 4x16-bit block tables (pigeonhole-exact to
-  hamming 3), union of per-block equi-joins
-- :func:`ngram_jaccard_pairs` exact Jaccard via an inverted-index token
-  join (|A∩B| from a count; never an all-pairs self-join)
+  hamming 3), block rows via one posexplode of the checkpointed signature
+- :func:`ngram_jaccard_pairs` exact Jaccard via a PREFIX-FILTERED
+  inverted-index join (Bayardo WWW'07; hot tokens sort last, so skew is
+  bounded by construction; never an all-pairs self-join)
 
 Analysis family:
 - :func:`token_stats`        whitespace + regex token counts (pure F.*)
 - :func:`quality_score`      length/punct/stopword/distinct ratios (pure F.*)
-- :func:`lang_id`            char-frequency n-gram heuristic (pure F.*)
+- :func:`lang_id`            char-frequency letter heuristic (pure F.*)
+- :func:`lang_id_ngram`      char-trigram naive-Bayes LID with learned
+  profiles (:func:`lang_ngram_profiles`) — the real model
 - :func:`doc_fingerprint`    normalized rolling fingerprint (md5)
 
 At 100 TB the shapes matter more than the hashes: exact dedup is one

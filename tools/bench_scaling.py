@@ -88,6 +88,31 @@ def joins_job(spark, sf_dir: str) -> dict:
     return dict(join_out_rows=rows, join_wall=wall, join_rows_per_sec=nin / wall)
 
 
+def cpu_job(spark, sf_dir: str, target_docs: int = 400_000) -> dict:
+    """CPU-bound engine op: vectorized uint64 MinHash (64 hashes) over the
+    documents corpus replicated to ~target_docs rows.  Isolates compute
+    scaling from the byte-movement-heavy ingest/join suites (this is the
+    workload class a 1000-executor cluster actually runs: per-doc hashing
+    dominated by CPU, one narrow shuffle)."""
+    from pyspark.sql import functions as F
+
+    from geotrellis_landsat_emr_demo_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    k = max(1, target_docs // n)
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * k + F.col("rep")).alias("doc_id"), "text"
+    )
+    total = n * k
+    t0 = time.time()
+    out = textops.minhash_signatures(big, n_hashes=64).count()
+    wall = time.time() - t0
+    assert out == total
+    return dict(cpu_docs=total, cpu_wall=wall, cpu_docs_per_sec=total / wall)
+
+
 def _kernel_probe_worker(i: int) -> int:
     from geotrellis_landsat_emr_demo_spark import fixtures
     from geotrellis_landsat_emr_demo_spark.core import kernels, tiling
@@ -132,6 +157,8 @@ def main():
             r = ingest_job(spark, cpus, scenes, px)
             joins_job(spark, sf_dir)
             r.update(joins_job(spark, sf_dir))
+            cpu_job(spark, sf_dir)
+            r.update(cpu_job(spark, sf_dir))
             r["cpus"] = cpus
             obs[cpus].append(r)
             print(f"# obs {r}", flush=True)
@@ -143,12 +170,15 @@ def main():
     probe = kernel_probe()
     lo_t, hi_t = best(8, "tiles_per_sec"), best(32, "tiles_per_sec")
     lo_j, hi_j = best(8, "join_rows_per_sec"), best(32, "join_rows_per_sec")
+    lo_c, hi_c = best(8, "cpu_docs_per_sec"), best(32, "cpu_docs_per_sec")
     eff_ingest = hi_t / (4 * lo_t)
     eff_join = hi_j / (4 * lo_j)
+    eff_cpu = hi_c / (4 * lo_c)
     tiles = obs[8][0]["tiles"]
     result = dict(
         ingest=dict(n8=round(lo_t, 1), n32=round(hi_t, 1), efficiency=round(eff_ingest, 3), tiles=tiles),
         joins=dict(n8=round(lo_j, 1), n32=round(hi_j, 1), efficiency=round(eff_join, 3)),
+        cpu_minhash=dict(n8=round(lo_c, 1), n32=round(hi_c, 1), efficiency=round(eff_cpu, 3)),
         kernel_probe=dict(
             n8=round(probe[8], 1), n32=round(probe[32], 1),
             efficiency=round(probe["efficiency"], 3),
@@ -184,6 +214,15 @@ one JVM, levels interleaved, warmup pass per level (page cache /\nJIT / python w
 | local[32] | {hi_j:.1f} |
 
 **scaling efficiency: {eff_join:.3f}**
+
+## CPU-bound MinHash (64-hash signatures, documents x replication)
+
+| parallelism | docs/sec |
+|---|---|
+| local[8]  | {lo_c:.0f} |
+| local[32] | {hi_c:.0f} |
+
+**scaling efficiency: {eff_cpu:.3f}**
 
 ## Pure-kernel scaling probe (no Spark, multiprocessing, same chunk math)
 
