@@ -606,6 +606,123 @@ def sql_ngram_jaccard():
     """
 
 
+def _kmeans_cents(k=8, dim=64):
+    from geotrellis_landsat_emr_demo_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+
+    return _ivf_centroids(k, dim)
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """One unrolled Lloyd iteration of spherical k-means, pure Catalyst
+    (engine: operators.similarity.kmeans_fit is the iterative Arrow-batch
+    version; this entry is the cross-engine-checkable single step):
+    assign to seeded unit centroids by dot product, recompute per-cluster
+    mean sums EXACTLY (embeddings rounded to a 6-decimal grid, summed as
+    decimals — bit-reproducible in any engine), then re-assign against
+    score = dot(v, sum_c) / n_c with a (score desc, cluster asc)
+    tie-break.  Returns (vec_id, cluster)."""
+    cents = _kmeans_cents()
+    k, dim = cents.shape
+    e = _t(spark, sf_dir, "embeddings")
+    r6 = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 6))
+    base = e.select("vec_id", r6.alias("v"))
+
+    def dot_lit(vcol, arr):
+        return F.aggregate(
+            F.zip_with(
+                vcol,
+                F.array(*[F.lit(float(c)) for c in arr]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    a0 = base.withColumn(
+        "cluster",
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (-dot_lit(F.col("v"), cents[j])).alias("nd"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        )["j"],
+    )
+    upd = (
+        a0.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(27,6)")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+            ).alias("sarr"),
+            F.first("n").alias("n"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(upd)).withColumn(
+        "score",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("sarr"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.col("n"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min_by(
+            "cluster", F.struct((-F.col("score")).alias("ns"), F.col("cluster"))
+        ).alias("cluster")
+    )
+
+
+def sql_kmeans_assign():
+    cents = _kmeans_cents()
+    cent_rows = ", ".join(
+        "(%d, [%s])" % (j, ", ".join(repr(float(c)) for c in cents[j]))
+        for j in range(cents.shape[0])
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, [round(CAST(x AS DOUBLE), 6) FOR x IN embedding] AS v
+            FROM embeddings
+        ), cents AS (
+            SELECT * FROM (VALUES {cent_rows}) AS t(j, c)
+        ), a0 AS (
+            SELECT vec_id, v, j AS cluster
+            FROM e CROSS JOIN cents
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY list_dot_product(v, c) DESC, j ASC) = 1
+        ), ex AS (
+            SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+            FROM a0
+        ), sums AS (
+            SELECT cluster, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS s,
+                   COUNT(*) AS n
+            FROM ex GROUP BY cluster, pos
+        ), upd AS (
+            SELECT cluster, list(s ORDER BY pos) AS sarr, min(n) AS n
+            FROM sums GROUP BY cluster
+        )
+        SELECT vec_id, cluster
+        FROM e CROSS JOIN upd
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id
+            ORDER BY list_dot_product(v, sarr) / n DESC, cluster ASC) = 1
+    """
+
+
 def q_dedup_components(spark, sf_dir):
     """Dedup-cluster collapse: connected components over the near-dup
     pair graph (engine: operators.graph.connected_components — alternating
@@ -1269,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "kmeans_assign": q_kmeans_assign,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1309,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_bands": sql_dedup_minhash_bands(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "dedup_components": sql_dedup_components(),
+        "kmeans_assign": sql_kmeans_assign(),
         "token_stats": sql_token_stats(),
         "quality_score": sql_quality_score(),
         "doc_fingerprint": sql_doc_fingerprint(),

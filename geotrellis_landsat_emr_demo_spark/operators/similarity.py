@@ -242,6 +242,83 @@ def _ivf_cells(df, vec_col, cents: np.ndarray, nprobe: int, out: str = "cell"):
     ).drop(vec_col)
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 4242,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed spherical k-means (Lloyd's) — trains the coarse
+    quantizer :func:`ivf_topk` probes (pass the result via its
+    ``centroids`` param; data-fit lists beat the seeded random quantizer
+    on clustered corpora).
+
+    Inputs are unit-normalized once and the corpus checkpointed; per
+    iteration: (1) assignment = one Arrow-batched matmul argmax (cosine
+    against unit centroids, executor-side), and (2) centroid update =
+    posexplode + (cell, dim) groupBy-SUM collected to the driver (k x dim
+    doubles — the only driver traffic; update = normalized mean, empty
+    cells keep their centroid).  The spherical objective (mean cosine of
+    each vector to its new centroid) falls out of the same sums —
+    sum_cells ||Σ v̂||/N — so monitoring costs nothing extra.
+
+    Returns (centroids (k, dim) unit ndarray, assignments DataFrame
+    (id_col, cell int), history list[float] — non-decreasing)."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double")
+        / F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda y: y.cast("double") * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        ),
+    )
+    base = (
+        embeddings.select(F.col(id_col), unit.alias("v"))
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    n_total = base.count()
+
+    def assign_udf(C: np.ndarray):
+        @F.pandas_udf(T.IntegerType())
+        def cell_udf(vecs: pd.Series) -> pd.Series:
+            E = np.asarray(vecs.tolist(), dtype="f8")
+            return pd.Series(np.argmax(E @ C.T, axis=1).astype("i4"))
+
+        return cell_udf
+
+    cents = _ivf_centroids(k, dim, seed)
+    history: list[float] = []
+    for _ in range(iters):
+        assigned = base.withColumn("cell", assign_udf(cents)(F.col("v")))
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        for r in rows:
+            sums[r.cell, r.pos] = r.s
+        norms = np.linalg.norm(sums, axis=1)
+        new = cents.copy()
+        nonzero = norms > 0
+        new[nonzero] = sums[nonzero] / norms[nonzero, None]
+        cents = new
+        # mean cosine to the NEW centroids over this assignment:
+        # each cell contributes ||Σ v̂|| (unit vectors, unit centroid)
+        history.append(float(norms.sum() / n_total))
+    assignments = base.select(id_col, assign_udf(cents)(F.col("v")).alias("cell"))
+    return cents, assignments, history
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -251,17 +328,24 @@ def ivf_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists (each vector -> its nearest centroid),
     probe the query's ``nprobe`` nearest lists, exact cosine re-rank.
+
+    ``centroids`` overrides the seeded random quantizer with a trained
+    one (:func:`kmeans_fit`) — data-fit lists balance better and lift
+    recall-per-probe on clustered corpora.
 
     The 100-TB shape: the corpus is hashed once into a NARROW (id, cell)
     relation (checkpointed — the list assignment never re-runs), candidates
     per query ~ nprobe * N / n_centroids instead of N; queries broadcast;
     vectors join back once for the exact re-rank.  Returns (query_id,
     neighbor_id, cosine, rank)."""
-    cents = _ivf_centroids(n_centroids, dim)
+    cents = (
+        centroids if centroids is not None else _ivf_centroids(n_centroids, dim)
+    )
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     base = _ivf_cells(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))

@@ -165,6 +165,27 @@ def minhash_portable_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _minhash_banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket) — the LSH bucket key per band from a
+    portable-signature relation (h0..h{n-1} columns)."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.concat_ws(
+                            "|", *[f"h{t * rows + j}" for j in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for t in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_portable_pairs(
     docs: DataFrame,
     n_hashes: int = 8,
@@ -184,22 +205,7 @@ def minhash_portable_pairs(
     sigs = minhash_portable_signatures(docs, n_hashes, shingle_k).localCheckpoint(
         eager=True
     )
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("band"),
-                        F.concat_ws(
-                            "|", *[f"h{t * rows + j}" for j in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for t in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _minhash_banded(sigs, bands, rows)
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(
@@ -307,6 +313,87 @@ def minhash_dedup_pairs(
     )
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", "est_jaccard"
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental-crawl dedup: probe a NEW batch of docs against an
+    EXISTING corpus without touching the corpus text.
+
+    ``corpus_sigs`` is the persisted signature relation
+    (:func:`minhash_portable_signatures` output — store it alongside the
+    corpus; a few md5 strings per doc).  Only the new batch is shingled
+    and hashed, its banded buckets join the corpus' banded buckets
+    (plus new-vs-new within the batch), and candidates verify on the
+    signatures.  Cost scales with |new| + matching buckets, never with
+    |corpus| text — the shape that keeps a 100-TB corpus's daily ingest
+    from re-hashing history.  Returns (doc_a, doc_b, est_jaccard,
+    is_new_pair bool: both sides from the new batch)."""
+    assert n_hashes % bands == 0, "n_hashes must divide evenly into bands"
+    rows = n_hashes // bands
+    new_sigs = minhash_portable_signatures(
+        new_docs, n_hashes, shingle_k
+    ).localCheckpoint(eager=True)
+    nb = _minhash_banded(new_sigs, bands, rows)
+    cb = _minhash_banded(corpus_sigs, bands, rows)
+    x, c = nb.alias("x"), cb.alias("c")
+    # new vs corpus: every colliding (new, old) pair
+    vs_corpus = (
+        x.join(
+            c,
+            (F.col("x.band") == F.col("c.band"))
+            & (F.col("x.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.lit(False).alias("is_new_pair"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    y = nb.alias("y")
+    vs_new = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(True).alias("is_new_pair"),
+        )
+    )
+    cand = vs_corpus.unionByName(vs_new).distinct()
+    all_sigs = new_sigs.unionByName(corpus_sigs).distinct()
+    sig_arr = F.array(*[f"h{i}" for i in range(n_hashes)])
+    sa = all_sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = all_sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda a, b: (a == b).cast("int")
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(n_hashes)),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", "est_jaccard", "is_new_pair"
     )
 
 

@@ -510,3 +510,109 @@ def test_lang_id_ngram_accuracy(spark):
         if r.predicted == r.lang
     ) / len(train_rows)
     assert self_acc >= 0.9
+
+
+def test_kmeans_fit_matches_numpy_lloyds(spark):
+    """Spherical k-means: assignments + centroids after N iterations equal
+    a numpy re-implementation of Lloyd's from the same seeded init, and
+    the objective (mean cosine to centroid) is non-decreasing."""
+    rng = np.random.default_rng(17)
+    # three planted directions + noise
+    dirs = rng.standard_normal((3, 64))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    X = np.vstack([
+        dirs[i] + 0.15 * rng.standard_normal((40, 64)) for i in range(3)
+    ])
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(len(X), dtype="int64"),
+        "embedding": [row.astype("f8").tolist() for row in X],
+    })
+    df = spark.createDataFrame(pdf)
+    k, iters = 4, 4
+    cents, assigns, hist = similarity.kmeans_fit(df, k=k, iters=iters)
+    got = {r.vec_id: r.cell for r in assigns.collect()}
+    # numpy Lloyd's from the same init
+    C = similarity._ivf_centroids(k, 64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for _ in range(iters):
+        cell = np.argmax(U @ C.T, axis=1)
+        for c in range(k):
+            s = U[cell == c].sum(axis=0)
+            n = np.linalg.norm(s)
+            if n > 0:
+                C[c] = s / n
+    expect_cells = np.argmax(U @ C.T, axis=1)
+    assert np.allclose(cents, C, atol=1e-9)
+    mismatch = sum(1 for i, c in got.items() if c != expect_cells[i])
+    assert mismatch == 0, f"{mismatch} assignment mismatches"
+    # objective is non-decreasing
+    assert all(b >= a - 1e-12 for a, b in zip(hist, hist[1:])), hist
+    # planted structure respected: with k > true clusters a block may
+    # legitimately SPLIT, but no cluster may MIX two planted blocks
+    cluster_blocks = {}
+    for i, c in got.items():
+        cluster_blocks.setdefault(c, set()).add(i // 40)
+    assert all(len(bs) == 1 for bs in cluster_blocks.values()), cluster_blocks
+    # and the final fit is as tight as the fixture allows: unit signal +
+    # 0.15-sigma 64-dim noise (norm ~1.2) caps mean cosine near
+    # 1/sqrt(1 + 0.15^2*64) ~ 0.64
+    assert hist[-1] >= 0.6, hist
+
+
+def test_ivf_with_trained_centroids(emb):
+    """ivf_topk accepts kmeans_fit centroids; trained quantizer keeps (or
+    beats) the seeded quantizer's recall at the same nprobe."""
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    cents, _, _ = similarity.kmeans_fit(emb, k=16, iters=3)
+    r_seeded = recall(similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4))
+    r_trained = recall(
+        similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4, centroids=cents)
+    )
+    # the claim is "trained quantizer >= seeded at equal nprobe", not an
+    # absolute recall (this 200-vector corpus caps both around ~0.45)
+    assert r_trained >= r_seeded - 1e-9, (r_trained, r_seeded)
+    assert r_trained > 0.3, r_trained
+
+
+def test_incremental_minhash_equals_batch(spark):
+    """The incremental probe (new batch vs stored corpus signatures) finds
+    exactly the pairs a full-corpus recompute finds, restricted to pairs
+    touching the new batch — without re-shingling the corpus."""
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    rows = corpus.collect()
+    batch = spark.createDataFrame(pd.DataFrame([
+        # dup of a corpus doc, a dup-pair within the batch, a fresh doc
+        dict(doc_id=7001, text=rows[3].text, lang="en", source="b", n_chars=1),
+        dict(doc_id=7002, text="alpha beta gamma delta epsilon zeta", lang="en",
+             source="b", n_chars=1),
+        dict(doc_id=7003, text="alpha beta gamma delta epsilon zeta eta", lang="en",
+             source="b", n_chars=1),
+    ]))
+    sigs = textops.minhash_portable_signatures(corpus, 8, 3)
+    inc = textops.incremental_minhash_pairs(
+        batch, sigs, n_hashes=8, bands=4, threshold=0.25
+    ).collect()
+    got = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.est_jaccard
+           for r in inc}
+    # batch oracle: full recompute over corpus + batch
+    full = textops.minhash_portable_pairs(
+        corpus.unionByName(batch), n_hashes=8, bands=4, threshold=0.25
+    ).collect()
+    new_ids = {7001, 7002, 7003}
+    expect = {(r.doc_a, r.doc_b): r.est_jaccard
+              for r in full if {r.doc_a, r.doc_b} & new_ids}
+    assert got == expect
+    assert (3, 7001) in got and got[(3, 7001)] == 1.0  # corpus dup found
+    assert (7002, 7003) in got                         # in-batch dup found
+    flags = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.is_new_pair
+             for r in inc}
+    assert flags[(3, 7001)] is False and flags[(7002, 7003)] is True
