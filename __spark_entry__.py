@@ -772,6 +772,70 @@ def sql_dedup_components():
     """
 
 
+def q_contamination_scan(spark, sf_dir):
+    """Benchmark decontamination (engine: operators.textops.
+    contamination_pairs): exact word-8-gram overlap between a training
+    split (even doc_id) and an eval split (odd doc_id) — pairs sharing
+    >= 2 verbatim 8-grams are contamination hits.  Inverted-index
+    equi-join on hashed shingles; one pass over each side."""
+    from geotrellis_landsat_emr_demo_spark.operators.textops import (
+        contamination_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    return contamination_pairs(train, test, shingle_k=8, min_shared=2)
+
+
+def sql_contamination_scan():
+    return """
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, s FROM words, unnest(
+                [array_to_string(ws[i:i+7], ' ')
+                 FOR i IN range(1, greatest(len(ws) - 7, 1) + 1)]) AS t(s)
+        ),
+        tr AS (SELECT doc_id AS train_doc, s FROM sh WHERE doc_id % 2 = 0),
+        te AS (SELECT doc_id AS test_doc, s FROM sh WHERE doc_id % 2 = 1)
+        SELECT test_doc, train_doc, count(*) AS n_shared
+        FROM te JOIN tr USING (s)
+        GROUP BY test_doc, train_doc
+        HAVING count(*) >= 2
+    """
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic md5 train/test split (engine: operators.textops.
+    train_test_split — membership depends only on (salt, doc_id), stable
+    under corpus growth and reproducible by any engine): per-language
+    split counts."""
+    from geotrellis_landsat_emr_demo_spark.operators.textops import (
+        train_test_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        train_test_split(d, test_frac=0.1, salt="split0")
+        .groupBy("lang", "is_test")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def sql_train_test_split():
+    thresh = int(0.1 * float(1 << 32))
+    return f"""
+        SELECT lang,
+               ('0x' || substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   < {thresh} AS is_test,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY lang, is_test
+    """
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting: whitespace + regex-word tokens (engine:
     operators.textops.token_stats)."""
@@ -1387,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "kmeans_assign": q_kmeans_assign,
+        "contamination_scan": q_contamination_scan,
+        "train_test_split": q_train_test_split,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1428,6 +1494,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "dedup_components": sql_dedup_components(),
         "kmeans_assign": sql_kmeans_assign(),
+        "contamination_scan": sql_contamination_scan(),
+        "train_test_split": sql_train_test_split(),
         "token_stats": sql_token_stats(),
         "quality_score": sql_quality_score(),
         "doc_fingerprint": sql_doc_fingerprint(),

@@ -686,6 +686,73 @@ def ngram_jaccard_pairs(
     )
 
 
+# ----------------------------------------------------------- decontam/split --
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    shingle_k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-decontamination scan: exact word-``shingle_k``-gram
+    overlap between a TRAINING corpus and an EVALUATION set (the GPT-3 /
+    PaLM recipe — k around 8-13 so only verbatim spans count, never topic
+    similarity).  Returns (test_doc, train_doc, n_shared) with
+    ``n_shared`` distinct shared shingles >= ``min_shared``.
+
+    Shape: both sides explode distinct shingles HASHED to longs
+    (xxhash64 — the join key never carries strings) and equi-join on the
+    hash; shingle cardinality scales with corpus size, so no hot keys,
+    and the train side is O(corpus tokens) — one pass, one shuffle.
+    Collision risk 2^-64 per shingle pair (false share), negligible."""
+    def side(df, out):
+        return df.select(
+            F.col("doc_id").alias(out),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        _shingles_col(F.col("text"), shingle_k),
+                        lambda sh: F.xxhash64(sh),
+                    )
+                )
+            ).alias("h"),
+        )
+
+    par = train.sparkSession.sparkContext.defaultParallelism
+    tr = side(train.repartition(par), "train_doc")
+    te = side(test, "test_doc")
+    return (
+        te.join(tr, "h")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def train_test_split(
+    docs: DataFrame,
+    test_frac: float = 0.1,
+    salt: str = "split0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic, engine-portable train/test split: a doc lands in
+    the test set iff the first 8 hex chars of md5(salt || id) — a uniform
+    32-bit integer — fall below ``test_frac`` of the range.  Stable under
+    corpus growth (membership depends only on (salt, id), never on
+    ordering or partitioning), reproducible by ANY engine with md5 (the
+    oracle twin), re-splittable by changing ``salt``.  Adds a boolean
+    ``is_test`` column.  (In-engine, xxhash64 would be cheaper; md5 is
+    kept so the split definition is portable to non-Spark consumers.)"""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return docs.withColumn(
+        "is_test", bucket < F.lit(int(test_frac * float(1 << 32)))
+    )
+
+
 # ---------------------------------------------------------------- analysis --
 
 def token_stats(docs: DataFrame) -> DataFrame:

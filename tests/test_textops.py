@@ -616,3 +616,52 @@ def test_incremental_minhash_equals_batch(spark):
     flags = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.is_new_pair
              for r in inc}
     assert flags[(3, 7001)] is False and flags[(7002, 7003)] is True
+
+
+def test_contamination_pairs_planted(spark):
+    """A test doc containing a verbatim 8-word span from a train doc is
+    flagged; topically-similar-but-not-verbatim text is not."""
+    train = spark.createDataFrame(pd.DataFrame([
+        dict(doc_id=1, text="the quick brown fox jumps over the lazy dog today",
+             lang="en", source="tr", n_chars=1),
+        dict(doc_id=2, text="completely unrelated training material about spark",
+             lang="en", source="tr", n_chars=1),
+    ]))
+    test = spark.createDataFrame(pd.DataFrame([
+        # verbatim 9-word span from doc 1 -> two shared 8-grams
+        dict(doc_id=11, text="intro words the quick brown fox jumps over the lazy dog outro",
+             lang="en", source="te", n_chars=1),
+        # same words, different order -> no shared 8-gram
+        dict(doc_id=12, text="dog lazy the over jumps fox brown quick the today",
+             lang="en", source="te", n_chars=1),
+    ]))
+    out = textops.contamination_pairs(train, test, shingle_k=8, min_shared=1).collect()
+    got = {(r.test_doc, r.train_doc): r.n_shared for r in out}
+    assert (11, 1) in got and got[(11, 1)] >= 2
+    assert (12, 1) not in got
+    assert all(t == 1 for (_, t) in got)
+
+
+def test_train_test_split_properties(spark):
+    """Deterministic, stable under growth, salt-sensitive, ~frac-sized."""
+    import hashlib
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = {r.doc_id: r.is_test for r in textops.train_test_split(d, 0.2).collect()}
+    s2 = {r.doc_id: r.is_test for r in textops.train_test_split(d, 0.2).collect()}
+    assert s1 == s2  # deterministic
+    # python recomputation of the definition
+    for i in list(s1)[:20]:
+        h = int(hashlib.md5(f"split0:{i}".encode()).hexdigest()[:8], 16)
+        assert s1[i] == (h < int(0.2 * (1 << 32)))
+    # membership unchanged when the corpus grows (depends on id only)
+    sub = {r.doc_id: r.is_test
+           for r in textops.train_test_split(d.limit(20), 0.2).collect()}
+    assert all(s1[i] == v for i, v in sub.items())
+    # a different salt re-splits
+    s3 = {r.doc_id: r.is_test
+          for r in textops.train_test_split(d, 0.2, salt="split1").collect()}
+    assert s1 != s3
+    # size ~ frac (binomial slack)
+    frac = sum(s1.values()) / len(s1)
+    assert 0.1 < frac < 0.35, frac
