@@ -107,7 +107,13 @@ def cpu_job(spark, sf_dir: str, target_docs: int = 400_000) -> dict:
     )
     total = n * k
     t0 = time.time()
-    out = textops.minhash_signatures(big, n_hashes=64).count()
+    # aggregate OVER the signature column: a bare count() would let
+    # Catalyst prune the pandas-UDF projection and skip the work entirely
+    out = (
+        textops.minhash_signatures(big, n_hashes=64)
+        .agg(F.count(F.element_at("sig", 1)))
+        .collect()[0][0]
+    )
     wall = time.time() - t0
     assert out == total
     return dict(cpu_docs=total, cpu_wall=wall, cpu_docs_per_sec=total / wall)
