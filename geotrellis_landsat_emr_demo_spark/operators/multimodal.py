@@ -13,8 +13,9 @@ Operators:
 - :func:`decode_stats`   decode + per-band statistics (mapInPandas)
 - :func:`thumbnails`     decode -> bilinear resize -> re-encode
 - :func:`verify_phash`   recompute the content hash, compare to the column
-- :func:`frame_sample`   treat a binary blob as N-frame video, sample every
-  k-th frame (deterministic fake decode for foreign fmts)
+- :func:`frame_sample`   sample every k-th video frame — real decoded
+  pixels when a codec is registered for the fmt, labeled byte-slice
+  fallback otherwise
 """
 
 from __future__ import annotations
@@ -219,15 +220,39 @@ def image_features(images: DataFrame, grid: int = 4) -> DataFrame:
 
 
 def frame_sample(videos: DataFrame, every_k: int = 4) -> DataFrame:
-    """Video frame sampling plumbing: one input row -> one row per sampled
-    frame.  Real video decode needs codecs absent here, so the decode step
-    is a deterministic fake (frame index + byte-slice hash) — the Spark
-    shapes (explode fan-out, schema, batching) are the real thing."""
+    """Video frame sampling: one input row -> one row per sampled frame
+    (index, content hash, height/width when decoded).
+
+    If a decoder is registered for the row's ``fmt`` (see
+    :func:`register_decoder`; a video decoder returns an ndarray shaped
+    (n_frames, h, w)), frames are REAL decoded pixels and ``frame_hash``
+    hashes the frame's bytes.  Otherwise the decode falls back to a
+    deterministic byte-slice fake (codec libs absent in this image) —
+    the Spark shapes (explode fan-out, schema, batching) are identical
+    either way, so plugging a codec changes no plan."""
+    decoders = _decoder_snapshot()  # captured -> serialized to executors
 
     def fn(batches):
         for pdf in batches:
-            out = dict(image_id=[], frame=[], frame_hash=[])
+            out = dict(image_id=[], frame=[], frame_hash=[], h=[], w=[])
             for r in pdf.itertuples(index=False):
+                dec = decoders.get(getattr(r, "fmt", None))
+                if dec is not None:
+                    frames = np.asarray(dec(r.bytes))
+                    for fi in range(0, frames.shape[0], every_k):
+                        fr = np.ascontiguousarray(frames[fi])
+                        out["image_id"].append(r.image_id)
+                        out["frame"].append(fi)
+                        out["frame_hash"].append(
+                            int.from_bytes(
+                                hashlib.sha256(fr.tobytes()).digest()[:8],
+                                "big",
+                                signed=True,
+                            )
+                        )
+                        out["h"].append(int(fr.shape[0]))
+                        out["w"].append(int(fr.shape[1]))
+                    continue
                 n_frames = max(1, len(r.bytes) // 4096)
                 for fi in range(0, n_frames, every_k):
                     chunk = r.bytes[fi * 4096 : (fi + 1) * 4096]
@@ -238,8 +263,11 @@ def frame_sample(videos: DataFrame, every_k: int = 4) -> DataFrame:
                             hashlib.sha256(chunk).digest()[:8], "big", signed=True
                         )
                     )
+                    out["h"].append(None)
+                    out["w"].append(None)
             yield pd.DataFrame(out)
 
-    return videos.select("image_id", "bytes").mapInPandas(
-        fn, schema="image_id string, frame int, frame_hash long"
+    cols = ["image_id", "bytes"] + (["fmt"] if "fmt" in videos.columns else [])
+    return videos.select(*cols).mapInPandas(
+        fn, schema="image_id string, frame int, frame_hash long, h int, w int"
     )

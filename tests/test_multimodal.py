@@ -333,3 +333,41 @@ def test_decoder_registry_seam(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_frame_sample_with_registered_video_codec(spark):
+    """With a registered video decoder, frame_sample emits REAL decoded
+    frames (hash of frame pixels + dimensions) through the same plan
+    shape; without one it keeps the labeled byte-slice fallback."""
+    import struct
+
+    def enc(frames):  # (n, h, w) uint16 -> bytes
+        n, h, w = frames.shape
+        return struct.pack("<3H", n, h, w) + frames.astype("<u2").tobytes()
+
+    def dec(payload):
+        n, h, w = struct.unpack("<3H", payload[:6])
+        return np.frombuffer(payload[6:], dtype="<u2").reshape(n, h, w)
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 60000, (10, 8, 8)).astype("u2")
+    df = spark.createDataFrame(
+        pd.DataFrame([dict(image_id="v1", fmt="toy-vid", bytes=enc(frames))])
+    )
+    multimodal.register_decoder("toy-vid", dec)
+    try:
+        out = multimodal.frame_sample(df, every_k=4).toPandas()
+    finally:
+        multimodal.unregister_decoder("toy-vid")
+    assert sorted(out.frame) == [0, 4, 8]
+    assert (out.h == 8).all() and (out.w == 8).all()
+    import hashlib as hl
+
+    expect = int.from_bytes(
+        hl.sha256(np.ascontiguousarray(frames[4]).tobytes()).digest()[:8],
+        "big", signed=True,
+    )
+    assert out[out.frame == 4].frame_hash.iloc[0] == expect
+    # fallback path still works and is labeled by null dims
+    out2 = multimodal.frame_sample(df, every_k=4).toPandas()
+    assert out2.h.isna().all() and out2.w.isna().all()
