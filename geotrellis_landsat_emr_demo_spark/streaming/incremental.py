@@ -207,6 +207,86 @@ def stream_ingest_files(
     )
 
 
+def stream_dedup_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    cat: Catalog,
+    checkpoint_dir: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.9,
+):
+    """Streaming corpus dedup — the LLM-crawl ingestion front door: every
+    new parquet file of documents is MinHash-probed against the corpus'
+    stored signature table (operators.textops.incremental_minhash_pairs —
+    the corpus text is never re-shingled), near-duplicates of existing or
+    in-batch docs are quarantined to a ``doc_rejects`` table (doc_id +
+    matched doc + estimated jaccard), and the survivors land in ``docs``
+    with their signatures appended to ``doc_sigs`` — all in ONE atomic
+    multi-table commit per micro-batch, exactly-once via the streaming
+    checkpoint + epoch marker (a replayed batch after restart is a no-op).
+
+    In-batch duplicate groups keep the min doc_id (first-wins, matching
+    exact_dedup / merge semantics).  Returns the StreamingQuery."""
+    from ..operators import textops
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_dir)
+    )
+
+    def handle_batch(df, epoch_id: int):
+        marker = f"dedup:epoch:{epoch_id}"
+        if cat.is_committed(marker):  # replayed batch after restart
+            return
+        sig_cols = ["doc_id"] + [f"h{i}" for i in range(n_hashes)]
+        try:
+            corpus_sigs = cat.read_spark(spark, "doc_sigs")
+        except FileNotFoundError:  # first batch: no corpus yet
+            corpus_sigs = spark.createDataFrame(
+                [], "doc_id long, " + ", ".join(f"h{i} string" for i in range(n_hashes))
+            )
+        new_sigs = textops.minhash_portable_signatures(df, n_hashes).localCheckpoint(
+            eager=True
+        )
+        pairs = textops.incremental_minhash_pairs(
+            df, corpus_sigs, n_hashes, bands, threshold
+        ).localCheckpoint(eager=True)
+        # rejects: dup of the corpus, or the LARGER id of an in-batch pair
+        # (min doc_id wins, first-wins semantics)
+        rej_corpus = pairs.filter(~F.col("is_new_pair")).select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("matched_doc"),
+            "est_jaccard",
+        )
+        rej_batch = pairs.filter(F.col("is_new_pair")).select(
+            F.greatest("doc_a", "doc_b").alias("doc_id"),
+            F.least("doc_a", "doc_b").alias("matched_doc"),
+            "est_jaccard",
+        )
+        rejects = rej_corpus.unionByName(rej_batch)
+        rej_ids = rejects.select("doc_id").distinct()
+        keep = df.join(rej_ids, "doc_id", "left_anti")
+        keep_sigs = new_sigs.join(rej_ids, "doc_id", "left_anti").select(*sig_cols)
+        adds = {
+            "docs": cat.stage_spark_write(keep, "docs"),
+            "doc_sigs": cat.stage_spark_write(keep_sigs, "doc_sigs"),
+        }
+        staged_rej = cat.stage_spark_write(rejects, "doc_rejects")
+        if staged_rej:
+            adds["doc_rejects"] = staged_rej
+        cat.commit(adds, markers={marker: {}})
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stateful_scene_counts(stream_images):
     """Custom stateful streaming operator (applyInPandasWithState): per
     acquisition day, a RUNNING scene count + cloud-cover mean maintained in

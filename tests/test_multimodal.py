@@ -371,3 +371,55 @@ def test_frame_sample_with_registered_video_codec(spark):
     # fallback path still works and is labeled by null dims
     out2 = multimodal.frame_sample(df, every_k=4).toPandas()
     assert out2.h.isna().all() and out2.w.isna().all()
+
+
+def test_stream_dedup_docs(spark):
+    """Streaming corpus dedup front door: two micro-batch files with
+    planted in-batch and cross-batch near-dups -> survivors in `docs`,
+    signatures in `doc_sigs`, quarantined pairs in `doc_rejects`; all
+    exactly-once (replaying the stream from the same checkpoint is a
+    no-op)."""
+    import glob
+    import time as _t
+
+    from geotrellis_landsat_emr_demo_spark.streaming import incremental as inc
+
+    root = os.path.join(SCRATCH, "streamdedup")
+    shutil.rmtree(root, ignore_errors=True)
+    docs_dir = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(docs_dir)
+    cat = Catalog(os.path.join(root, "cat"))
+
+    def doc(i, text):
+        return dict(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+
+    b1 = pd.DataFrame([
+        doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
+        doc(2, "alpha beta gamma delta epsilon zeta eta iota"),   # dup of 1
+        doc(3, "one two three four five six seven eight nine"),
+    ])
+    b1.to_parquet(os.path.join(docs_dir, "b1.parquet"))
+    q = inc.stream_dedup_docs(spark, docs_dir, cat, ckpt, threshold=0.5)
+    q.processAllAvailable(); q.stop()
+    kept1 = sorted(cat.read_pandas("docs").doc_id)
+    assert kept1 == [1, 3]  # min-id wins the in-batch pair
+    # batch 2: cross-batch dup of doc 1 + a fresh doc
+    b2 = pd.DataFrame([
+        doc(10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        doc(11, "totally fresh content words here again now yes"),
+    ])
+    b2.to_parquet(os.path.join(docs_dir, "b2.parquet"))
+    q = inc.stream_dedup_docs(spark, docs_dir, cat, ckpt, threshold=0.5)
+    q.processAllAvailable(); q.stop()
+    kept = sorted(cat.read_pandas("docs").doc_id)
+    assert kept == [1, 3, 11]
+    sigs = cat.read_pandas("doc_sigs")
+    assert sorted(sigs.doc_id) == [1, 3, 11]
+    rej = cat.read_pandas("doc_rejects")
+    assert set(zip(rej.doc_id, rej.matched_doc)) >= {(2, 1), (10, 1)}
+    # exactly-once: a fresh query over the same checkpoint replays nothing
+    snap = cat.snapshot_id()
+    q = inc.stream_dedup_docs(spark, docs_dir, cat, ckpt, threshold=0.5)
+    q.processAllAvailable(); q.stop()
+    assert sorted(cat.read_pandas("docs").doc_id) == [1, 3, 11]
