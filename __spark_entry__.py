@@ -772,6 +772,64 @@ def sql_dedup_components():
     """
 
 
+def q_incremental_minhash(spark, sf_dir):
+    """Incremental-crawl dedup probe (engine: operators.textops.
+    incremental_minhash_pairs): odd-doc_id docs arrive as the NEW batch
+    and probe the stored signatures of the even-doc_id corpus — corpus
+    text is never re-shingled; new-vs-corpus plus new-vs-new candidates
+    verify on the signatures."""
+    from geotrellis_landsat_emr_demo_spark.operators.textops import (
+        incremental_minhash_pairs,
+        minhash_portable_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    sigs = minhash_portable_signatures(corpus, n_hashes=8)
+    return incremental_minhash_pairs(
+        batch, sigs, n_hashes=8, bands=4, threshold=0.5
+    ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"), "is_new_pair")
+
+
+def sql_incremental_minhash():
+    mins = ", ".join(f"min(md5('s{i}:' || s)) AS h{i}" for i in range(8))
+    bandsel = " UNION ALL ".join(
+        f"SELECT doc_id, {t} AS band, h{2*t} || '|' || h{2*t+1} AS bucket FROM sig"
+        for t in range(4)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, s FROM words, unnest(
+                [array_to_string(ws[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]) AS t(s)
+        ), sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS ({bandsel}),
+        nb AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+        cb AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, c.doc_id AS doc_b,
+                   FALSE AS is_new_pair
+            FROM nb x JOIN cb c ON x.band = c.band AND x.bucket = c.bucket
+            UNION
+            SELECT DISTINCT x.doc_id, y.doc_id, TRUE
+            FROM nb x JOIN nb y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, round(({matches}) / 8.0, 6) AS est_jaccard,
+               is_new_pair
+        FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
+        WHERE ({matches}) / 8.0 >= 0.5
+    """
+
+
 def q_contamination_scan(spark, sf_dir):
     """Benchmark decontamination (engine: operators.textops.
     contamination_pairs): exact word-8-gram overlap between a training
@@ -1451,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "kmeans_assign": q_kmeans_assign,
+        "incremental_minhash": q_incremental_minhash,
         "contamination_scan": q_contamination_scan,
         "train_test_split": q_train_test_split,
         "token_stats": q_token_stats,
@@ -1494,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "dedup_components": sql_dedup_components(),
         "kmeans_assign": sql_kmeans_assign(),
+        "incremental_minhash": sql_incremental_minhash(),
         "contamination_scan": sql_contamination_scan(),
         "train_test_split": sql_train_test_split(),
         "token_stats": sql_token_stats(),
