@@ -152,6 +152,11 @@ def main():
     reps = int(os.environ.get("SCALE_REPS", "2"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # SCALE_SUITES: comma list of ingest,joins,cpu (default all) — rerun
+    # a single contended suite without paying for the others
+    suites = set(
+        os.environ.get("SCALE_SUITES", "ingest,joins,cpu").split(",")
+    )
     obs = {8: [], 32: []}
     for _ in range(reps):
         for cpus in (8, 32):
@@ -159,12 +164,16 @@ def main():
             # cold pass warms the page cache / JIT / python workers (a real
             # cluster pays these once per long-lived executor, not per job);
             # the measured pass is steady-state
-            ingest_job(spark, cpus, scenes, px)
-            r = ingest_job(spark, cpus, scenes, px)
-            joins_job(spark, sf_dir)
-            r.update(joins_job(spark, sf_dir))
-            cpu_job(spark, sf_dir)
-            r.update(cpu_job(spark, sf_dir))
+            r = {}
+            if "ingest" in suites:
+                ingest_job(spark, cpus, scenes, px)
+                r = ingest_job(spark, cpus, scenes, px)
+            if "joins" in suites:
+                joins_job(spark, sf_dir)
+                r.update(joins_job(spark, sf_dir))
+            if "cpu" in suites:
+                cpu_job(spark, sf_dir)
+                r.update(cpu_job(spark, sf_dir))
             r["cpus"] = cpus
             obs[cpus].append(r)
             print(f"# obs {r}", flush=True)
@@ -173,6 +182,10 @@ def main():
     def best(level, key):
         return max(o[key] for o in obs[level])
 
+    if suites != {"ingest", "joins", "cpu"}:
+        # partial rerun: print raw observations only, keep the full report
+        print(json.dumps({"partial": sorted(suites), "obs": {k: v for k, v in obs.items()}}, default=str))
+        return
     probe = kernel_probe()
     lo_t, hi_t = best(8, "tiles_per_sec"), best(32, "tiles_per_sec")
     lo_j, hi_j = best(8, "join_rows_per_sec"), best(32, "join_rows_per_sec")
