@@ -100,6 +100,10 @@ def connected_components(
 
     prev = None
     for _ in range(max_iter):
+        # both star outputs are eagerly checkpointed: each feeds the next
+        # star's THREE references (filter, min, join), and a lazy persist
+        # in place of the first checkpoint measured ~30% slower per round
+        # (BENCH/BASELINE.md negative results)
         e = _large_star(_sym(e)).distinct().localCheckpoint(eager=True)
         e = _small_star(_sym(e)).distinct().localCheckpoint(eager=True)
         cur = _sig(e)

@@ -665,3 +665,43 @@ def test_train_test_split_properties(spark):
     # size ~ frac (binomial slack)
     frac = sum(s1.values()) / len(s1)
     assert 0.1 < frac < 0.35, frac
+
+
+def test_prefix_filter_parity_sweep(spark):
+    """Seeded sweep: random corpora x random thresholds — the prefix-
+    filtered join must equal brute force EXACTLY at every threshold,
+    including ceil-boundary thresholds (t*n exactly integral)."""
+    import random
+
+    rng = random.Random(23)
+    for trial, t in enumerate([0.5, 0.7, 0.75, 1.0 / 3.0, 0.9]):
+        rows = []
+        vocab = [f"w{j}" for j in range(30)]
+        for i in range(60):
+            n = rng.randint(3, 12)
+            rows.append(
+                dict(doc_id=i, source=f"b{i % 2}",
+                     text=" ".join(rng.sample(vocab, n)), lang="en", n_chars=n)
+            )
+        # planted exact dup -> jaccard 1.0 beats every threshold
+        rows.append(dict(rows[0], doc_id=100))
+        docs = spark.createDataFrame(pd.DataFrame(rows))
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in textops.ngram_jaccard_pairs(docs, "source", t).collect()
+        }
+        texts = {r["doc_id"]: (r["source"], set(r["text"].split())) for r in rows}
+        ids = sorted(texts)
+        brute = {}
+        for ia, a in enumerate(ids):
+            for b in ids[ia + 1:]:
+                if texts[a][0] != texts[b][0]:
+                    continue
+                ta, tb = texts[a][1], texts[b][1]
+                j = len(ta & tb) / len(ta | tb)
+                if j >= t:
+                    brute[(a, b)] = j
+        assert got.keys() == brute.keys(), f"trial {trial} t={t}"
+        for k in brute:
+            assert abs(got[k] - brute[k]) < 1e-9
+        assert brute, f"trial {trial} must be non-vacuous"
