@@ -950,6 +950,78 @@ def sql_quality_score():
     """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary analysis: top-10 tokens per language by frequency
+    (count desc, token asc tie-break) — the heavy-hitter rollup every
+    corpus audit starts with.  Shape: one explode + (lang, token)
+    hash-agg (map-side combinable) + a per-lang top-k window over the
+    (tiny) distinct-token relation — never over raw token occurrences."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "tok", "n", "rank")
+    )
+
+
+def sql_vocab_topk():
+    return """
+        SELECT lang, tok, count(*) AS n,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY count(*) DESC, tok ASC
+               ) AS INT) AS rank
+        FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY lang, tok
+        QUALIFY rank <= 10
+    """
+
+
+def q_quality_filter(spark, sf_dir):
+    """Quality filtering rollup: per source, how many docs survive the
+    standard gates (>= 50 tokens, distinct ratio >= 0.3, stopword ratio
+    <= 0.5) — the keep/drop accounting of a filtering pipeline stage
+    (engine: thresholds over operators.textops.quality_score columns)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop = F.array([F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop)) / F.size(
+        F.array_distinct(toks)
+    )
+    keep = (n >= 50) & (distinct_ratio >= 0.3) & (stop_ratio <= 0.5)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_keep"),
+    )
+
+
+def sql_quality_filter():
+    return """
+        WITH q AS (
+            SELECT source,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(list_distinct(string_split(trim(text), ' ')))::DOUBLE /
+                       len(string_split(trim(text), ' ')) AS dr,
+                   len(list_intersect(list_distinct(string_split(trim(text), ' ')),
+                                      ['the','a','of','and','to','in']))::DOUBLE /
+                       len(list_distinct(string_split(trim(text), ' '))) AS sr
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_tokens >= 50 AND dr >= 0.3 AND sr <= 0.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        FROM q GROUP BY source
+    """
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of normalized text (engine:
     operators.textops.doc_fingerprint)."""
@@ -1514,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
+        "quality_filter": q_quality_filter,
+        "vocab_topk": q_vocab_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_stats": q_lang_stats,
         "lang_id": q_lang_id,
@@ -1558,6 +1632,8 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": sql_train_test_split(),
         "token_stats": sql_token_stats(),
         "quality_score": sql_quality_score(),
+        "quality_filter": sql_quality_filter(),
+        "vocab_topk": sql_vocab_topk(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "lang_stats": sql_lang_stats(),
         "lang_id": sql_lang_id(),
