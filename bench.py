@@ -49,6 +49,7 @@ HEADLINE = [
     "simhash_near_pairs",
     "embedding_lsh_near_dups",
     "embedding_ivf_topk",
+    "kmeans_assign",
 ]
 
 
