@@ -8,6 +8,11 @@ micro-benchmark on the synthetic t-bench corpus, and prints ONE JSON line:
   {"metric": "...", "value": <total-sec>, "unit": "sec",
    "queries": {...}, "sf": <sf>, "extras": {...}}
 
+Methodology: per query 1 cold rep + best-of-2 warm (caches dropped
+between reps); "queries" carries the warm best, extras.queries_cold the
+cold rep — single cold samples on this shared box landed 3-14x above
+isolated re-runs (round-3 adjudication), so the gate number is warm.
+
 Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N) is produced
 by tools/bench_scaling.py, which runs the same ingest at local[8] and
 local[32] and writes BENCH/BASELINE.md.
@@ -138,14 +143,26 @@ def main():
             it.next().unpersist(False)
         spark.catalog.clearCache()
 
-    timings = {}
+    # Per query: one COLD rep (page cache / JIT / codegen for this plan
+    # all cold) then best-of-2 WARM reps.  The gate number is the warm
+    # best — the box's bimodal memory/disk-contention spikes made single
+    # samples land 3-14x above isolated re-runs in round 3, which made the
+    # bench useless for regression detection; cold times are still
+    # reported (extras.queries_cold) for the full picture.  Caches are
+    # dropped between reps, so a rep never rides another's blocks — warm
+    # here means OS page cache + JVM warmth, not Spark-cached data.
+    timings, cold = {}, {}
     for name in HEADLINE:
-        t0 = time.time()
-        materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
-        _drop_caches()
+        reps = []
+        for rep in range(3):
+            t0 = time.time()
+            materialize(qs[name](spark, SF_DIR))
+            reps.append(round(time.time() - t0, 3))
+            _drop_caches()
+        cold[name] = reps[0]
+        timings[name] = min(reps[1:])
 
-    extras = {"ingest": ingest_bench(spark), "cpus": CPUS}
+    extras = {"ingest": ingest_bench(spark), "cpus": CPUS, "queries_cold": cold}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

@@ -20,7 +20,9 @@ On-disk layout:
 
 from __future__ import annotations
 
+import contextlib
 import copy
+import fcntl
 import json
 import os
 import shutil
@@ -55,19 +57,36 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
         os.makedirs(os.path.join(root, "_history"), exist_ok=True)
         self._manifest_path = os.path.join(root, "_catalog.json")
+        self._lock_path = os.path.join(root, "_catalog.lock")
         if not os.path.exists(self._manifest_path):
             self._write_manifest({"snapshot": 0, "tables": {}, "committed": {}})
 
     # ------------------------------------------------------------ manifest
 
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Exclusive fcntl lock making read-validate-write atomic across
+        processes/threads — the CAS half of Iceberg's commit protocol.
+        Without it two writers could both pass the snapshot check and the
+        last os.replace would silently drop the other's commit."""
+        fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def _read_manifest(self) -> dict:
-        """Parsed manifest, cached on the file's (mtime_ns, size) so hot
-        read paths (point reads call :meth:`snapshot_id` per tile) don't
-        re-parse _catalog.json; an external writer bumps the mtime and
-        invalidates.  The returned dict is SHARED — treat as read-only;
-        mutators must deep-copy (see :meth:`commit`)."""
+        """Parsed manifest, cached on the file's (ino, mtime_ns, size) so
+        hot read paths (point reads call :meth:`snapshot_id` per tile) don't
+        re-parse _catalog.json; an external writer's os.replace allocates a
+        new inode, so the key is collision-proof even when two commits land
+        in one coarse-clock mtime tick with unchanged size.  The returned
+        dict is SHARED — treat as read-only; mutators must deep-copy (see
+        :meth:`commit`)."""
         st = os.stat(self._manifest_path)
-        key = (st.st_mtime_ns, st.st_size)
+        key = (st.st_ino, st.st_mtime_ns, st.st_size)
         cached = getattr(self, "_manifest_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -82,7 +101,7 @@ class Catalog:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic on POSIX
         st = os.stat(self._manifest_path)
-        self._manifest_cache = ((st.st_mtime_ns, st.st_size), m)
+        self._manifest_cache = ((st.st_ino, st.st_mtime_ns, st.st_size), m)
 
     def snapshot_id(self) -> int:
         return self._read_manifest()["snapshot"]
@@ -96,27 +115,29 @@ class Catalog:
 
         adds: {table_name: [absolute parquet paths already under root/<table>/]}
         """
-        m = copy.deepcopy(self._read_manifest())  # cached manifest is shared
-        # archive previous manifest as a snapshot
-        hist = os.path.join(self.root, "_history", f"{m['snapshot']}.json")
-        with open(hist, "w") as f:
-            json.dump(m, f)
-        for table, files in adds.items():
-            entry = m["tables"].setdefault(table, {"files": []})
-            for p in files:
-                meta = None
-                if isinstance(p, tuple):  # (path, file-level metadata dict)
-                    p, meta = p
-                rel = os.path.relpath(p, self.root)
-                assert not rel.startswith(".."), f"file outside catalog root: {p}"
-                entry["files"].append({"path": rel, "meta": meta} if meta else rel)
-        if markers:
-            now = time.time()
-            for k, v in markers.items():
-                m["committed"][k] = {"at": now, **(v or {})}
-        m["snapshot"] += 1
-        self._write_manifest(m)
-        return m["snapshot"]
+        with self._commit_lock():
+            # re-read INSIDE the lock so a racing commit's files survive
+            m = copy.deepcopy(self._read_manifest())  # cached manifest is shared
+            # archive previous manifest as a snapshot
+            hist = os.path.join(self.root, "_history", f"{m['snapshot']}.json")
+            with open(hist, "w") as f:
+                json.dump(m, f)
+            for table, files in adds.items():
+                entry = m["tables"].setdefault(table, {"files": []})
+                for p in files:
+                    meta = None
+                    if isinstance(p, tuple):  # (path, file-level metadata dict)
+                        p, meta = p
+                    rel = os.path.relpath(p, self.root)
+                    assert not rel.startswith(".."), f"file outside catalog root: {p}"
+                    entry["files"].append({"path": rel, "meta": meta} if meta else rel)
+            if markers:
+                now = time.time()
+                for k, v in markers.items():
+                    m["committed"][k] = {"at": now, **(v or {})}
+            m["snapshot"] += 1
+            self._write_manifest(m)
+            return m["snapshot"]
 
     def replace(
         self,
@@ -135,32 +156,35 @@ class Catalog:
         (e.g. a streaming append racing a compaction), raises
         :class:`CommitConflict` instead of silently dropping those files
         from the new manifest — the caller re-scans and retries, exactly
-        Iceberg's validate-base-snapshot-then-commit protocol."""
-        m = copy.deepcopy(self._read_manifest())  # cached manifest is shared
-        if expected_snapshot is not None and m["snapshot"] != expected_snapshot:
-            raise CommitConflict(
-                f"table {table!r} rewrite based on snapshot {expected_snapshot} "
-                f"but manifest is at {m['snapshot']} — re-scan and retry"
-            )
-        hist = os.path.join(self.root, "_history", f"{m['snapshot']}.json")
-        with open(hist, "w") as f:
-            json.dump(m, f)
-        entry = {"files": []}
-        for p in files:
-            meta = None
-            if isinstance(p, tuple):
-                p, meta = p
-            rel = os.path.relpath(p, self.root)
-            assert not rel.startswith(".."), f"file outside catalog root: {p}"
-            entry["files"].append({"path": rel, "meta": meta} if meta else rel)
-        m["tables"][table] = entry
-        if markers:
-            now = time.time()
-            for k, v in markers.items():
-                m["committed"][k] = {"at": now, **(v or {})}
-        m["snapshot"] += 1
-        self._write_manifest(m)
-        return m["snapshot"]
+        Iceberg's validate-base-snapshot-then-commit protocol.  The snapshot
+        check runs under :meth:`_commit_lock`, so validate+write is a true
+        CAS: two racing writers serialize and the loser sees the conflict."""
+        with self._commit_lock():
+            m = copy.deepcopy(self._read_manifest())  # cached manifest is shared
+            if expected_snapshot is not None and m["snapshot"] != expected_snapshot:
+                raise CommitConflict(
+                    f"table {table!r} rewrite based on snapshot {expected_snapshot} "
+                    f"but manifest is at {m['snapshot']} — re-scan and retry"
+                )
+            hist = os.path.join(self.root, "_history", f"{m['snapshot']}.json")
+            with open(hist, "w") as f:
+                json.dump(m, f)
+            entry = {"files": []}
+            for p in files:
+                meta = None
+                if isinstance(p, tuple):
+                    p, meta = p
+                rel = os.path.relpath(p, self.root)
+                assert not rel.startswith(".."), f"file outside catalog root: {p}"
+                entry["files"].append({"path": rel, "meta": meta} if meta else rel)
+            m["tables"][table] = entry
+            if markers:
+                now = time.time()
+                for k, v in markers.items():
+                    m["committed"][k] = {"at": now, **(v or {})}
+            m["snapshot"] += 1
+            self._write_manifest(m)
+            return m["snapshot"]
 
     def is_committed(self, marker: str) -> bool:
         return marker in self._read_manifest()["committed"]
@@ -298,15 +322,16 @@ class Catalog:
         path = os.path.join(self.root, "_history", f"{snapshot}.json")
         if not os.path.exists(path):
             raise KeyError(f"no snapshot {snapshot}; have {self.history()}")
-        cur = self._read_manifest()
-        hist = os.path.join(self.root, "_history", f"{cur['snapshot']}.json")
-        with open(hist, "w") as f:
-            json.dump(cur, f)
-        with open(path) as f:
-            m = json.load(f)
-        m["snapshot"] = cur["snapshot"] + 1  # snapshots are monotonic
-        self._write_manifest(m)
-        return m["snapshot"]
+        with self._commit_lock():
+            cur = self._read_manifest()
+            hist = os.path.join(self.root, "_history", f"{cur['snapshot']}.json")
+            with open(hist, "w") as f:
+                json.dump(cur, f)
+            with open(path) as f:
+                m = json.load(f)
+            m["snapshot"] = cur["snapshot"] + 1  # snapshots are monotonic
+            self._write_manifest(m)
+            return m["snapshot"]
 
     def read_at(self, table: str, snapshot: int):
         """Pruned arrow read of a table AS OF a historical snapshot."""

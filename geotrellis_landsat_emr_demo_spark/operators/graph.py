@@ -55,8 +55,15 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """(v, m) for neighbors v <= u plus (u, m); m = min over small
-    neighbors ∪ {u}."""
-    small = e.filter(F.col("v") <= F.col("u"))
+    neighbors ∪ {u}.
+
+    ``e`` must already be ORIENTED src > dst (large-star output always is:
+    every edge it emits is (v, m) with m <= u < v).  For such an input,
+    symmetrizing then filtering v <= u recovers exactly the original
+    orientation — so the _sym + filter of the textbook formulation is a
+    no-op here and is skipped, saving a union + distinct shuffle per
+    round."""
+    small = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     m = (
         small.groupBy("u")
         .agg(F.min("v").alias("mv"))
@@ -99,13 +106,23 @@ def connected_components(
         return r.n, r.h
 
     prev = None
+    prev_ckpts: list[DataFrame] = []
     for _ in range(max_iter):
         # both star outputs are eagerly checkpointed: each feeds the next
-        # star's THREE references (filter, min, join), and a lazy persist
-        # in place of the first checkpoint measured ~30% slower per round
-        # (BENCH/BASELINE.md negative results)
-        e = _large_star(_sym(e)).distinct().localCheckpoint(eager=True)
-        e = _small_star(_sym(e)).distinct().localCheckpoint(eager=True)
+        # star's multiple references (min + join), and a lazy persist in
+        # place of the first checkpoint measured ~30% slower per round
+        # (BENCH/BASELINE.md negative results).  Small-star consumes the
+        # large-star output directly (already src>dst oriented — see
+        # _small_star), so only large-star pays the _sym union+distinct.
+        lg = _large_star(_sym(e)).distinct().localCheckpoint(eager=True)
+        e = _small_star(lg).distinct().localCheckpoint(eager=True)
+        # this round is materialized — free the previous round's blocks
+        # (and the intermediate) so executor storage stays O(1) rounds,
+        # not O(rounds) (lingering blocks inflated later bench queries)
+        for old in prev_ckpts:
+            old.unpersist()
+        lg.unpersist()
+        prev_ckpts = [e]
         cur = _sig(e)
         if cur == prev:
             break

@@ -142,7 +142,7 @@ def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int | None = 4,
+    bits: int | None = None,
     tables: int = 8,
     dim: int = 64,
     multiprobe: int = 1,
@@ -268,15 +268,22 @@ def kmeans_fit(
     Returns (centroids (k, dim) unit ndarray, assignments DataFrame
     (id_col, cell int), history list[float] — non-decreasing)."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # guard the denominator: an all-zero embedding would divide 0/0 into
+    # null array elements and poison the assign UDF's numpy conversion —
+    # clamping the norm keeps the vector at zero (it then never moves a
+    # centroid: its posexplode sums contribute 0)
     unit = F.transform(
         F.col(vec_col),
         lambda x: x.cast("double")
-        / F.sqrt(
-            F.aggregate(
-                F.transform(F.col(vec_col), lambda y: y.cast("double") * y),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
+        / F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(vec_col), lambda y: y.cast("double") * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ),
+            F.lit(1e-12),
         ),
     )
     base = (
@@ -421,7 +428,7 @@ def lsh_candidate_pairs(
 def lsh_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    bits: int | None = 4,
+    bits: int | None = None,
     tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",

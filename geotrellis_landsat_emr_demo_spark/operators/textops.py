@@ -323,6 +323,8 @@ def incremental_minhash_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    corpus_bands: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-crawl dedup: probe a NEW batch of docs against an
     EXISTING corpus without touching the corpus text.
@@ -332,18 +334,45 @@ def incremental_minhash_pairs(
     corpus; a few md5 strings per doc).  Only the new batch is shingled
     and hashed, its banded buckets join the corpus' banded buckets
     (plus new-vs-new within the batch), and candidates verify on the
-    signatures.  Cost scales with |new| + matching buckets, never with
-    |corpus| text — the shape that keeps a 100-TB corpus's daily ingest
-    from re-hashing history.  Returns (doc_a, doc_b, est_jaccard,
-    is_new_pair bool: both sides from the new batch)."""
+    signatures.  Returns (doc_a, doc_b, est_jaccard, is_new_pair bool:
+    both sides from the new batch).
+
+    The O(|new|) shape (the 100-TB requirement — a crawl batch must never
+    pay a corpus-wide shuffle):
+
+    - ``corpus_bands``: pass the STORED pre-banded relation (doc_id,
+      band, bucket) — e.g. :func:`operators.sigstore.probe_sig_bands`'s
+      pruned slice — and the per-batch banded explode of every corpus
+      signature disappears; the candidate step becomes a broadcast
+      equi-join of the small new-batch bands against an
+      already-materialized (and file/row-group-pruned) index.  Omitted,
+      the bands are derived from ``corpus_sigs`` (one full pass — fine
+      for one-shot probes, wrong for a recurring ingest loop).
+    - the verify base is built by SEMI-JOINING ``corpus_sigs`` to the
+      candidate doc ids (broadcast of the small id set — a scan-side
+      filter, no corpus shuffle), never by a corpus-wide
+      ``union().distinct()``.
+    - ``new_sigs``: pass the batch's already-checkpointed signatures to
+      avoid recomputing them (the streaming front door computes them once
+      for storage anyway)."""
     assert n_hashes % bands == 0, "n_hashes must divide evenly into bands"
     rows = n_hashes // bands
-    new_sigs = minhash_portable_signatures(
-        new_docs, n_hashes, shingle_k
-    ).localCheckpoint(eager=True)
+    if new_sigs is None:
+        new_sigs = minhash_portable_signatures(
+            new_docs, n_hashes, shingle_k
+        ).localCheckpoint(eager=True)
     nb = _minhash_banded(new_sigs, bands, rows)
-    cb = _minhash_banded(corpus_sigs, bands, rows)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else _minhash_banded(corpus_sigs, bands, rows)
+    )
     x, c = nb.alias("x"), cb.alias("c")
+    if corpus_bands is not None:
+        # stored-index probe: the batch is the small side by construction —
+        # force the broadcast (the checkpointed new relation has no size
+        # stats, so Spark would otherwise sort-merge = shuffle the corpus)
+        x = F.broadcast(x)
     # new vs corpus: every colliding (new, old) pair
     vs_corpus = (
         x.join(
@@ -372,8 +401,20 @@ def incremental_minhash_pairs(
             F.lit(True).alias("is_new_pair"),
         )
     )
-    cand = vs_corpus.unionByName(vs_new).distinct()
-    all_sigs = new_sigs.unionByName(corpus_sigs).distinct()
+    # candidates feed the est join AND the verify-base semi-join — two
+    # branches; materialize once (tiny: colliding pairs only)
+    cand = vs_corpus.unionByName(vs_new).distinct().localCheckpoint(eager=True)
+    # verify base: corpus signatures RESTRICTED to candidate ids via a
+    # broadcast semi-join (scan-side filter — no corpus shuffle), never a
+    # corpus-wide union().distinct().  Result-identical: ids outside the
+    # candidate set can never reach the output.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    matched = corpus_sigs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    all_sigs = new_sigs.unionByName(matched).distinct()
     sig_arr = F.array(*[f"h{i}" for i in range(n_hashes)])
     sa = all_sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
     sb = all_sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
@@ -392,9 +433,14 @@ def incremental_minhash_pairs(
             / F.lit(float(n_hashes)),
         )
     )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
+    out = est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", "est_jaccard", "is_new_pair"
     )
+    # handle for callers that materialize the result and want to free the
+    # internal candidate checkpoint (the streaming loop must not leak one
+    # block per micro-batch)
+    out._cand_ckpt = cand
+    return out
 
 
 # --------------------------------------------------------------- simhash --
@@ -550,20 +596,30 @@ def _token_base(docs, bucket_col, lowercase, split_pattern):
     )
 
 
-def _hot_hashes(base, cutoff: int) -> list:
+def _hot_hashes(base, cutoff: int, max_hot: int = 10_000) -> list:
     """Token hashes with document frequency > cutoff — the heavy hitters
-    that must sort LAST in the global prefix order.  The set is tiny by
-    construction (<= total_token_rows / cutoff distinct values; Zipf makes
-    it far smaller), so collecting to the driver is safe; raise ``cutoff``
-    for corpora where it is not."""
+    that must sort LAST in the global prefix order — HARD-CAPPED at the
+    ``max_hot`` most frequent (ties broken by hash asc, deterministic).
+
+    The cap is the driver/plan guard: the above-cutoff set is bounded by
+    ``total_token_rows / cutoff`` which Zipf keeps tiny in practice, but a
+    pathological corpus could push it to millions of in-plan literals — a
+    plan-size blow-up.  ``limit(max_hot + 1)`` bounds what ever reaches
+    the driver; when truncation kicks in, tokens above the cutoff but
+    below the top-``max_hot`` simply stay in the cold order — EXACTNESS
+    is unaffected (any fixed global total order is valid for prefix
+    filtering); only the skew bound for those keys relaxes from
+    ``cutoff`` to the df of the max_hot-th hottest token."""
     rows = (
         base.select(F.explode("hs").alias("h"))
         .groupBy("h")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > cutoff)
+        .orderBy(F.desc("df"), F.asc("h"))
+        .limit(max_hot + 1)
         .collect()
     )
-    return sorted(r.h for r in rows)
+    return sorted(r.h for r in rows[:max_hot])
 
 
 def _prefix_index(base, t_pref: float, hot: list | None = None):
@@ -615,6 +671,7 @@ def ngram_jaccard_pairs(
     split_pattern: str = r"\s+",
     round_to: int | None = None,
     hot_cutoff: int = 256,
+    max_hot: int = 10_000,
 ) -> DataFrame:
     """Exact token-set Jaccard via a PREFIX-FILTERED inverted-index join.
 
@@ -648,7 +705,7 @@ def ngram_jaccard_pairs(
     base = _token_base(docs, bucket_col, lowercase, split_pattern).localCheckpoint(
         eager=True
     )
-    inv = _prefix_index(base, t_pref, hot=_hot_hashes(base, hot_cutoff))
+    inv = _prefix_index(base, t_pref, hot=_hot_hashes(base, hot_cutoff, max_hot))
     x, y = inv.alias("x"), inv.alias("y")
     cand = (
         x.join(

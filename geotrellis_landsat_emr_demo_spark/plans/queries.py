@@ -290,6 +290,11 @@ class LayerService:
         collection-only when serving Spark-free."""
         import time as _time
 
+        # resolve the manifest's file list ONCE per bench, not per rep —
+        # the reference's readall likewise resolves its LayerId once
+        # (Router.scala:237-243); re-listing per rep measured manifest
+        # parsing, not the read path
+        files = self.cat.files("tiles", layer=layer, zoom=int(zoom))
         out = []
         for i in range(1, reps + 1):
             row: dict = {"n": str(i)}
@@ -299,7 +304,6 @@ class LayerService:
                 from pyspark.sql import functions as _F
 
                 t0 = _time.time()
-                files = self.cat.files("tiles", layer=layer, zoom=int(zoom))
                 cnt = (
                     self.spark.read.parquet(*files)
                     .filter(

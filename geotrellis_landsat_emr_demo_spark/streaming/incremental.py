@@ -215,21 +215,32 @@ def stream_dedup_docs(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.9,
+    bp_partitions: int = 1024,
 ):
     """Streaming corpus dedup — the LLM-crawl ingestion front door: every
     new parquet file of documents is MinHash-probed against the corpus'
-    stored signature table (operators.textops.incremental_minhash_pairs —
-    the corpus text is never re-shingled), near-duplicates of existing or
-    in-batch docs are quarantined to a ``doc_rejects`` table (doc_id +
-    matched doc + estimated jaccard), and the survivors land in ``docs``
-    with their signatures appended to ``doc_sigs`` — all in ONE atomic
-    multi-table commit per micro-batch, exactly-once via the streaming
-    checkpoint + epoch marker (a replayed batch after restart is a no-op).
+    STORED banded index (operators.sigstore — the corpus text is never
+    re-shingled AND its signatures are never re-banded or shuffled:
+    the probe is a broadcast equi-join against the pruned ``doc_sig_bands``
+    slice, so per-batch work scales with |batch| + collisions, not
+    |corpus|).  Near-duplicates of existing or in-batch docs are
+    quarantined to a ``doc_rejects`` table (doc_id + matched doc +
+    estimated jaccard); survivors land in ``docs`` with signatures
+    appended to ``doc_sigs`` and banded rows to ``doc_sig_bands`` — all
+    in ONE atomic multi-table commit per micro-batch, exactly-once via
+    the streaming checkpoint + epoch marker (a replayed batch after
+    restart is a no-op).  Run :func:`operators.sigstore.compact_sig_bands`
+    periodically to range-cluster the index for file-level pruning.
 
     In-batch duplicate groups keep the min doc_id (first-wins, matching
-    exact_dedup / merge semantics).  Returns the StreamingQuery."""
-    from ..operators import textops
+    exact_dedup / merge semantics).  Docs with null text are signed as
+    empty text (coalesce) so every committed doc ALWAYS has a doc_sigs
+    row — docs/doc_sigs can never drift, and later exact duplicates of a
+    degenerate doc are still caught.  Returns the StreamingQuery."""
+    from ..operators import sigstore, textops
 
+    assert n_hashes % bands == 0, "n_hashes must divide evenly into bands"
+    rows = n_hashes // bands
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     stream = (
         spark.readStream.schema(schema)
@@ -248,12 +259,27 @@ def stream_dedup_docs(
             corpus_sigs = spark.createDataFrame(
                 [], "doc_id long, " + ", ".join(f"h{i} string" for i in range(n_hashes))
             )
-        new_sigs = textops.minhash_portable_signatures(df, n_hashes).localCheckpoint(
-            eager=True
-        )
-        pairs = textops.incremental_minhash_pairs(
-            df, corpus_sigs, n_hashes, bands, threshold
+        # null text -> empty text BEFORE signing: minhash's explode drops
+        # null-shingle rows, which would commit a doc without a signature
+        signed = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        new_sigs = textops.minhash_portable_signatures(
+            signed, n_hashes
         ).localCheckpoint(eager=True)
+        new_bands = textops._minhash_banded(new_sigs, bands, rows)
+        corpus_bands = sigstore.probe_sig_bands(
+            spark, cat, new_bands, bp_partitions
+        )
+        raw_pairs = textops.incremental_minhash_pairs(
+            df,
+            corpus_sigs,
+            n_hashes,
+            bands,
+            threshold,
+            corpus_bands=corpus_bands,
+            new_sigs=new_sigs,
+        )
+        pairs = raw_pairs.localCheckpoint(eager=True)
+        raw_pairs._cand_ckpt.unpersist()  # pairs is materialized; free it
         # rejects: dup of the corpus, or the LARGER id of an in-batch pair
         # (min doc_id wins, first-wins semantics)
         rej_corpus = pairs.filter(~F.col("is_new_pair")).select(
@@ -269,15 +295,27 @@ def stream_dedup_docs(
         rejects = rej_corpus.unionByName(rej_batch)
         rej_ids = rejects.select("doc_id").distinct()
         keep = df.join(rej_ids, "doc_id", "left_anti")
-        keep_sigs = new_sigs.join(rej_ids, "doc_id", "left_anti").select(*sig_cols)
+        keep_sigs = new_sigs.join(rej_ids, "doc_id", "left_anti").select(
+            *sig_cols
+        ).localCheckpoint(eager=True)  # feeds doc_sigs AND the banded index
         adds = {
             "docs": cat.stage_spark_write(keep, "docs"),
             "doc_sigs": cat.stage_spark_write(keep_sigs, "doc_sigs"),
+            # the pre-banded index rows for the kept docs — data + index
+            # land in the SAME snapshot, so a probe can never see one
+            # without the other
+            sigstore.SIG_BANDS_TABLE: sigstore.stage_sig_bands(
+                cat, textops._minhash_banded(keep_sigs, bands, rows), bp_partitions
+            ),
         }
         staged_rej = cat.stage_spark_write(rejects, "doc_rejects")
         if staged_rej:
             adds["doc_rejects"] = staged_rej
         cat.commit(adds, markers={marker: {}})
+        # free this batch's checkpoint blocks — a long-running stream must
+        # not accumulate block-manager storage across micro-batches
+        for ckpt in (pairs, keep_sigs, new_sigs):
+            ckpt.unpersist()
 
     return (
         stream.writeStream.foreachBatch(handle_batch)

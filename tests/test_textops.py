@@ -206,6 +206,46 @@ def test_ngram_jaccard_skewed_bucket(spark):
     assert all(r.jaccard in (0.5, 0.2) for r in out)
 
 
+def test_ngram_jaccard_hot_cap_truncation_exact(spark):
+    """Force the hot-set cap to truncate (hot_cutoff=1 makes nearly every
+    token 'hot', max_hot=3 keeps only the 3 hottest in the literal): the
+    result must STILL equal the all-pairs brute force — truncation only
+    relaxes the skew bound, never exactness — and the in-plan literal is
+    bounded at max_hot."""
+    rows = [
+        dict(
+            doc_id=i,
+            source="s",
+            text=f"shared common words tok{i} tok{i + 1}",
+            lang="en",
+            n_chars=30,
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    # sanity: the uncapped hot set at cutoff=1 is larger than the cap
+    base = textops._token_base(docs, "source", True, r"\s+")
+    assert len(textops._hot_hashes(base, 1, max_hot=10_000)) > 3
+    assert len(textops._hot_hashes(base, 1, max_hot=3)) == 3
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in textops.ngram_jaccard_pairs(
+            docs, "source", 0.4, hot_cutoff=1, max_hot=3
+        ).collect()
+    }
+    brute = {}
+    for i in range(60):
+        for j in range(i + 1, 60):
+            ta = set(rows[i]["text"].split())
+            tb = set(rows[j]["text"].split())
+            jac = len(ta & tb) / len(ta | tb)
+            if jac >= 0.4:
+                brute[(i, j)] = jac
+    assert got.keys() == brute.keys() and brute
+    for k in brute:
+        assert abs(got[k] - brute[k]) < 1e-9
+
+
 def test_quality_and_tokens(docs):
     q = textops.quality_score(docs).collect()
     t = {r.doc_id: r for r in textops.token_stats(docs).collect()}
