@@ -234,11 +234,19 @@ class Catalog:
             out.append(os.path.join(self.root, self._entry_path(e)))
         return out
 
-    def stage_spark_write(self, df, table: str) -> list[str]:
+    def stage_spark_write(self, df, table: str, write_options: dict | None = None) -> list[str]:
         """Write a Spark DataFrame as staged parquet files under the table
-        dir (NOT yet visible). Call :meth:`commit` to publish them."""
+        dir (NOT yet visible). Call :meth:`commit` to publish them.
+
+        ``write_options`` pass through to the parquet writer — e.g.
+        ``{"parquet.block.size": str(1 << 20)}`` for point-read-optimized
+        small row groups (a row group is the payload-IO unit: a point read
+        decompresses one whole column chunk of it)."""
         stage = os.path.join(self.root, f"_stage-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(stage)
+        w = df.write.mode("overwrite")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
+        w.parquet(stage)
         out = []
         tdir = self.table_dir(table)
         for name in sorted(os.listdir(stage)):

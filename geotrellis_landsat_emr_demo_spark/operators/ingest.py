@@ -405,7 +405,15 @@ def _lineage_pdf(layer, stage, zoom, rows, nbytes, wall_s, partitions):
     )
 
 
-def _commit_level(cat: Catalog, df: DataFrame, layer: str, stage: str, zoom: int, t0: float):
+def _commit_level(
+    cat: Catalog,
+    df: DataFrame,
+    layer: str,
+    stage: str,
+    zoom: int,
+    t0: float,
+    writer_partitions: int | None = None,
+):
     """Stage tile files + lineage row, publish in ONE atomic manifest swap
     (exactly-once per stage even if we crash right after).
 
@@ -414,8 +422,34 @@ def _commit_level(cat: Catalog, df: DataFrame, layer: str, stage: str, zoom: int
     tight cell_key min/max, so the serving point reads prune row groups
     the way the reference's Z-order SFC index prunes backend range scans
     (conf/output.json:15-18).  Full cross-file clustering happens at
-    compaction (:func:`compact_tiles`)."""
-    files = cat.stage_spark_write(df.sortWithinPartitions("cell_key", "ts"), "tiles")
+    compaction (:func:`compact_tiles`).
+
+    ``writer_partitions`` decouples WRITE parallelism from COMPUTE
+    parallelism: the merge still runs at full width, then one
+    range-repartition on (cell_key, ts) funnels the output into that many
+    writer tasks — fewer, larger, GLOBALLY SFC-clustered files (each file
+    a disjoint cell_key range, so the level is born compacted).  Use when
+    the storage layer saturates below the compute width (this box's disk
+    tops out near 8 concurrent writers; an object store at 1000 executors
+    has the same property per prefix)."""
+    if writer_partitions is not None:
+        df = df.repartitionByRange(writer_partitions, "cell_key", "ts")
+    # ~1 MB row groups (≈4 tiles): the row group is the unit of payload IO
+    # for a point read — one whole `tile` column chunk is decompressed per
+    # hit — so serving latency scales with row-group size, not file size.
+    # Measured: 128 MB default block -> 30-tile chunks -> 20 renders/s;
+    # 1 MB -> 50-100/s.  Scans lose nothing at these sizes (still
+    # thousands of rows per task via file coalescing).
+    files = cat.stage_spark_write(
+        df.sortWithinPartitions("cell_key", "ts"),
+        "tiles",
+        write_options={
+            "parquet.block.size": str(1 << 20),
+            # parquet-mr only starts size-checking after 100 rows by
+            # default — wide tile rows hit the block limit far earlier
+            "parquet.page.size.row.check.min": "2",
+        },
+    )
     import os
 
     nbytes = sum(os.path.getsize(f) for f in files)
@@ -468,6 +502,7 @@ def ingest_images(
     chunk_partitions: int | None = None,
     fail_after_stage: str | None = None,
     cell_type: str = "uint16",
+    writer_partitions: int | None = None,
 ) -> dict:
     """Run the full ingest; resumable (skips stages whose completion marker
     is already committed).  Returns metrics {stage: {rows, wall_s, ...}}.
@@ -506,7 +541,8 @@ def ingest_images(
             )
         tiles = _merge_partials(partials, layer, max_zoom, store_fmt)
         rows, nbytes, level_files = _commit_level(
-            cat, tiles, layer, leaf_stage, max_zoom, t0
+            cat, tiles, layer, leaf_stage, max_zoom, t0,
+            writer_partitions=writer_partitions,
         )
         metrics[leaf_stage] = dict(rows=rows, bytes=nbytes, wall_s=time.time() - t0)
         if fail_after_stage == leaf_stage:
@@ -536,7 +572,8 @@ def ingest_images(
             .applyInPandas(_parent_fn(layer, zoom, store_fmt), schema=TILE_SCHEMA)
         )
         rows, nbytes, level_files = _commit_level(
-            cat, parents, layer, stage, zoom, t0
+            cat, parents, layer, stage, zoom, t0,
+            writer_partitions=writer_partitions,
         )
         metrics[stage] = dict(rows=rows, bytes=nbytes, wall_s=time.time() - t0)
         if fail_after_stage == stage:

@@ -128,27 +128,62 @@ class LayerService:
             return kernels.regrid_to_extent(src, src_ext, req_ext, (256, 256))
         return self._point_read(layer, zoom, x, y, time_millis)
 
-    def _point_read(self, layer, zoom, x, y, time_millis):
-        import pyarrow.dataset as ds
+    def _rg_index(self, layer: int, zoom: int):
+        """Per-(layer, zoom, snapshot) row-group index: (ParquetFile
+        handle, rg, cell_key min/max) from the parquet FOOTERS only — the
+        ValueReader key-index analog (TileReader.scala:12-21).  Memory is
+        O(row groups), never O(tiles), so it holds at 100-TB layers the
+        same way the manifest stat-cache does."""
+        import pyarrow.parquet as pq
 
+        snap = self.cat.snapshot_id()
+        ikey = (snap, layer, int(zoom))
+        cached = getattr(self, "_rg_idx_cache", None)
+        if cached is None:
+            cached = self._rg_idx_cache = {}
+        if ikey not in cached:
+            for k in [k for k in list(cached) if k[0] != snap]:
+                del cached[k]  # stale snapshots
+            entries = []
+            for path in self.cat.files("tiles", layer=layer, zoom=int(zoom)):
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                ci = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci["cell_key"]).statistics
+                    lo, hi = (
+                        (st.min, st.max)
+                        if st is not None and st.has_min_max
+                        else (None, None)
+                    )
+                    entries.append((pf, rg, lo, hi))
+            cached[ikey] = entries
+        return cached[ikey]
+
+    def _point_read(self, layer, zoom, x, y, time_millis):
         ckey = (self.cat.snapshot_id(), layer, zoom, x, y, time_millis)
         if ckey in self._tile_cache:
             return self._tile_cache[ckey]  # hot-tile fast path (S3 analog)
         key = int(cellindex.cell_key(zoom, x, y))
-        flt = (
-            (ds.field("layer") == layer)
-            & (ds.field("zoom") == int(zoom))
-            & (ds.field("cell_key") == key)
-            & (ds.field("ts") == pd.Timestamp(time_millis, unit="ms"))
-        )
-        tbl = self.cat.read_arrow(
-            "tiles", filters=flt, columns=["tile"], layer=layer, zoom=int(zoom)
-        )
-        out = (
-            None
-            if tbl.num_rows == 0
-            else kernels.decode_payload(tbl["tile"][0].as_py())
-        )
+        ts64 = pd.Timestamp(time_millis, unit="ms").to_datetime64()
+        # two-phase columnar point read: (1) LOCATE via the footer index +
+        # a key-columns-only row-group read (a few longs — pays no payload
+        # IO), then (2) read the `tile` column of exactly ONE row group.
+        # The one-phase dataset filter scan decompressed every candidate
+        # row group's tile chunks until it hit (measured 43-60 ms/read on
+        # 31 SFC-overlapping files); this is ~1 payload chunk per read.
+        out = None
+        for pf, rg, lo, hi in self._rg_index(layer, zoom):
+            if lo is not None and not (lo <= key <= hi):
+                continue
+            kc = pf.read_row_group(rg, columns=["cell_key", "ts"])
+            ks = kc["cell_key"].to_numpy()
+            tss = kc["ts"].to_numpy()
+            hit = np.nonzero((ks == key) & (tss == ts64))[0]
+            if hit.size:
+                tile_col = pf.read_row_group(rg, columns=["tile"])
+                out = kernels.decode_payload(tile_col["tile"][int(hit[0])].as_py())
+                break
         if len(self._tile_cache) >= self._tile_cache_size:
             self._tile_cache.pop(next(iter(self._tile_cache)))  # FIFO evict
         self._tile_cache[ckey] = out
