@@ -772,6 +772,64 @@ def sql_dedup_components():
     """
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """The END-TO-END dedup pipeline a corpus owner actually runs:
+    near-dup pairs (exact prefix-filtered Jaccard) -> connected components
+    (operators.graph.connected_components) -> cluster collapse with
+    first-wins keepers (operators.graph.dedup_clusters) -> surviving-corpus
+    rollup per source.  n_keepers is the deduplicated corpus size: one
+    keeper (min doc_id) per cluster, singletons keep themselves."""
+    from geotrellis_landsat_emr_demo_spark.operators.graph import dedup_clusters
+    from geotrellis_landsat_emr_demo_spark.operators.textops import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d,
+        bucket_col="source",
+        min_jaccard=0.7,
+        lowercase=False,
+        split_pattern=" ",
+        round_to=3,
+    )
+    clusters = dedup_clusters(d, pairs, id_col="doc_id", a_col="doc_a", b_col="doc_b")
+    return (
+        d.join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_keeper").cast("long")).alias("n_keepers"),
+        )
+    )
+
+
+def sql_dedup_corpus():
+    return f"""
+        WITH RECURSIVE p AS ({sql_ngram_jaccard()}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM p
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM p
+        ),
+        reach(node, lab) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        GROUP BY d.source
+    """
+
+
 def q_incremental_minhash(spark, sf_dir):
     """Incremental-crawl dedup probe (engine: operators.textops.
     incremental_minhash_pairs): odd-doc_id docs arrive as the NEW batch
@@ -1580,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_corpus": q_dedup_corpus,
         "kmeans_assign": q_kmeans_assign,
         "incremental_minhash": q_incremental_minhash,
         "contamination_scan": q_contamination_scan,
@@ -1626,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_bands": sql_dedup_minhash_bands(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "dedup_components": sql_dedup_components(),
+        "dedup_corpus": sql_dedup_corpus(),
         "kmeans_assign": sql_kmeans_assign(),
         "incremental_minhash": sql_incremental_minhash(),
         "contamination_scan": sql_contamination_scan(),

@@ -414,7 +414,10 @@ def incremental_minhash_pairs(
         .distinct()
     )
     matched = corpus_sigs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    all_sigs = new_sigs.unionByName(matched).distinct()
+    # the verify base is tiny (candidate ids only) but feeds BOTH est-join
+    # sides; checkpoint so the corpus-sig scan behind it runs once, not
+    # once per side
+    all_sigs = new_sigs.unionByName(matched).distinct().localCheckpoint(eager=True)
     sig_arr = F.array(*[f"h{i}" for i in range(n_hashes)])
     sa = all_sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
     sb = all_sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
@@ -436,10 +439,11 @@ def incremental_minhash_pairs(
     out = est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", "est_jaccard", "is_new_pair"
     )
-    # handle for callers that materialize the result and want to free the
-    # internal candidate checkpoint (the streaming loop must not leak one
-    # block per micro-batch)
+    # handles for callers that materialize the result and want to free the
+    # internal checkpoints (the streaming loop must not leak blocks per
+    # micro-batch)
     out._cand_ckpt = cand
+    out._sigbase_ckpt = all_sigs
     return out
 
 

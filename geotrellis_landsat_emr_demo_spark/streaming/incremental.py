@@ -279,7 +279,9 @@ def stream_dedup_docs(
             new_sigs=new_sigs,
         )
         pairs = raw_pairs.localCheckpoint(eager=True)
-        raw_pairs._cand_ckpt.unpersist()  # pairs is materialized; free it
+        # pairs is materialized; free the probe's internal checkpoints
+        raw_pairs._cand_ckpt.unpersist()
+        raw_pairs._sigbase_ckpt.unpersist()
         # rejects: dup of the corpus, or the LARGER id of an in-batch pair
         # (min doc_id wins, first-wins semantics)
         rej_corpus = pairs.filter(~F.col("is_new_pair")).select(

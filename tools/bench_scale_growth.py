@@ -186,6 +186,62 @@ def measure(spark, n: int) -> dict:
     return out
 
 
+def measure_incremental(spark, n: int, batch: int = 200) -> dict:
+    """Per-batch probe cost against a STORED corpus of n docs: the round-4
+    O(|new|) claim.  The corpus' pre-banded signature index is written to
+    a catalog and range-compacted once (amortized over every future crawl
+    batch); the measured quantity is what a single new batch pays — with
+    the old shape this grew with |corpus| (full banded explode + corpus
+    distinct); with the stored-index probe it should stay ~flat in n."""
+    import os
+    import shutil
+    import tempfile
+
+    from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+    from geotrellis_landsat_emr_demo_spark.operators import sigstore, textops
+
+    par = spark.sparkSession.sparkContext.defaultParallelism if hasattr(
+        spark, "sparkSession"
+    ) else spark.sparkContext.defaultParallelism
+    root = os.path.join(tempfile.gettempdir(), f"siggrowth-{n}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    docs = gen_docs(spark, n).repartition(par).localCheckpoint(eager=True)
+    sigs = textops.minhash_portable_signatures(docs, 8, 3).localCheckpoint(eager=True)
+    staged = sigstore.stage_sig_bands(
+        cat, textops._minhash_banded(sigs, 4, 2), n_partitions=4096
+    )
+    cat.commit({sigstore.SIG_BANDS_TABLE: staged})
+    cat.commit({"doc_sigs": cat.stage_spark_write(sigs, "doc_sigs")})
+    sigstore.compact_sig_bands(spark, cat, n_partitions=4096, n_files=32)
+    corpus_sigs = cat.read_spark(spark, "doc_sigs")
+    # fixed-size new batch, ids disjoint from the corpus
+    new = (
+        gen_docs(spark, n + batch)
+        .filter(F.col("doc_id") >= n)
+        .localCheckpoint(eager=True)
+    )
+    walls, n_pairs = [], 0
+    for _ in range(3):  # best-of-3: single samples are host-noise bound
+        t0 = time.time()
+        new_sigs = textops.minhash_portable_signatures(new, 8, 3).localCheckpoint(
+            eager=True
+        )
+        nb = textops._minhash_banded(new_sigs, 4, 2)
+        pruned = sigstore.probe_sig_bands(spark, cat, nb, n_partitions=4096)
+        pairs = textops.incremental_minhash_pairs(
+            new, corpus_sigs, 8, 4, 0.5, corpus_bands=pruned, new_sigs=new_sigs
+        )
+        n_pairs = pairs.count()
+        walls.append(time.time() - t0)
+        pairs._cand_ckpt.unpersist()
+        new_sigs.unpersist()
+    for df in (docs, sigs, new):
+        df.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return {"wall": min(walls), "pairs": n_pairs}
+
+
 def main():
     from geotrellis_landsat_emr_demo_spark.session import build_session
 
@@ -205,6 +261,14 @@ def main():
             f"| {op} | {ws:.1f} s / {cs:,} / {os_:,} "
             f"| {wb:.1f} s / {cb:,} / {ob:,} | **{ratio:.1f}x** |"
         )
+    inc_s = measure_incremental(spark, n_small)
+    inc_b = measure_incremental(spark, n_small * 10)
+    print(
+        f"\n| incremental probe (fixed 200-doc batch) | corpus N={n_small}: "
+        f"{inc_s['wall']:.2f} s / {inc_s['pairs']:,} pairs "
+        f"| corpus N={n_small*10}: {inc_b['wall']:.2f} s / {inc_b['pairs']:,} pairs "
+        f"| wall growth **{inc_b['wall']/max(inc_s['wall'],1e-9):.2f}x** |"
+    )
     spark.stop()
 
 

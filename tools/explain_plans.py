@@ -100,6 +100,59 @@ CHECKS = {
 }
 
 
+def banded_probe_df(spark):
+    """The stored-index incremental probe (round-4 O(|new|) shape):
+    corpus signatures + pre-banded index in a catalog, a small batch
+    probing it.  The plan must show the corpus entering ONLY as parquet
+    scans (one for the banded index, one for the verify semi-join) — no
+    corpus-wide banded explode, no corpus union+distinct aggregation."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+    from geotrellis_landsat_emr_demo_spark.operators import sigstore, textops
+
+    root = os.path.join(tempfile.gettempdir(), "explain-sigstore")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).localCheckpoint(eager=True)
+    sigs = textops.minhash_portable_signatures(corpus, 8).localCheckpoint(eager=True)
+    cat.commit(
+        {
+            sigstore.SIG_BANDS_TABLE: sigstore.stage_sig_bands(
+                cat, textops._minhash_banded(sigs, 4, 2), 1024
+            ),
+            "doc_sigs": cat.stage_spark_write(sigs, "doc_sigs"),
+        }
+    )
+    corpus_sigs = cat.read_spark(spark, "doc_sigs")
+    new_sigs = textops.minhash_portable_signatures(batch, 8).localCheckpoint(eager=True)
+    nb = textops._minhash_banded(new_sigs, 4, 2)
+    pruned = sigstore.probe_sig_bands(spark, cat, nb, 1024)
+    return textops.incremental_minhash_pairs(
+        batch, corpus_sigs, 8, 4, 0.5, corpus_bands=pruned, new_sigs=new_sigs
+    )
+
+
+# checks for the catalog-backed probe plan (built via banded_probe_df, not
+# an entry): corpus touched only via pruned parquet scans; candidates and
+# the verify base reach it through broadcast joins (corpus never shuffled)
+BANDED_PROBE_CHECKS = [
+    # candidates AND the verify base are checkpointed before the returned
+    # plan, so the final est-join reads only ExistingRDDs — the corpus was
+    # touched exactly once per stored table during their materialization
+    "count<=0:Scan parquet  \\(\\d",
+    "ExistingRDD",
+    "BroadcastHashJoin",
+    "!CartesianProduct",
+    "!InPandas|!BatchEvalPython",
+]
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -123,8 +176,16 @@ def main():
     import re
 
     ok_all = True
-    for name, patterns in CHECKS.items():
-        plan = plan_of(qs[name](spark, SF_DIR))
+    named = list(CHECKS.items()) + [
+        ("incremental_minhash_banded (stored-index probe)", BANDED_PROBE_CHECKS)
+    ]
+    for name, patterns in named:
+        df = (
+            banded_probe_df(spark)
+            if name.startswith("incremental_minhash_banded")
+            else qs[name](spark, SF_DIR)
+        )
+        plan = plan_of(df)
         out.append(f"\n## {name}\n")
         for pat in patterns:
             if pat.startswith("count<="):
