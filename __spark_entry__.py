@@ -1008,6 +1008,85 @@ def sql_quality_score():
     """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction + match counts (engine: operators.textops.pii_scrub).
+    The synthetic corpus has no natural PII, so both twins plant
+    deterministic emails / IPs / phone numbers keyed on doc_id before
+    scrubbing — the regexes are exercised on every row."""
+    from geotrellis_landsat_emr_demo_spark.operators import textops
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = textops.pii_scrub(planted)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "has_pii",
+    )
+
+
+def sql_pii_scrub():
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    phone = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN ' call 555-123-4567'
+                         ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                   '{ipv4}', '<IP>', 'g'),
+                 '{phone}', '<PHONE>', 'g') AS text,
+               CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone,
+               (len(regexp_extract_all(text, '{email}'))
+                + len(regexp_extract_all(text, '{ipv4}'))
+                + len(regexp_extract_all(text, '{phone}'))) > 0 AS has_pii
+        FROM planted
+    """
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary analysis: top-10 tokens per language by frequency
     (count desc, token asc tie-break) — the heavy-hitter rollup every
@@ -1646,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "quality_filter": q_quality_filter,
+        "pii_scrub": q_pii_scrub,
         "vocab_topk": q_vocab_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_stats": q_lang_stats,
@@ -1693,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": sql_token_stats(),
         "quality_score": sql_quality_score(),
         "quality_filter": sql_quality_filter(),
+        "pii_scrub": sql_pii_scrub(),
         "vocab_topk": sql_vocab_topk(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "lang_stats": sql_lang_stats(),

@@ -828,6 +828,43 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns restricted to syntax with IDENTICAL semantics in Java
+# regex (Spark) and RE2 (the DuckDB oracle): char classes, bounded
+# repetition, no backrefs/lookaround.  Order matters for the sequential
+# scrub: none of these can match inside another's replacement token.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII (emails, IPv4s, phone-shaped numbers) and count matches
+    — the scrubbing stage every training-data pipeline runs before
+    publishing a corpus.
+
+    Per-pattern match counts are computed on the ORIGINAL text (so counts
+    are independent of scrub order), then the replacements apply
+    sequentially.  Pure JVM column algebra (``regexp_count`` /
+    ``regexp_replace``): no UDF, no shuffle — at 100 TB this is a narrow
+    map over the corpus scan, whole-stage-codegen'd."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    out = docs.select(
+        "doc_id",
+        scrubbed.alias(text_col),
+        *counts,
+    )
+    total = sum((F.col(f"n_{name}") for name, _, _ in PII_PATTERNS), F.lit(0))
+    return out.withColumn("has_pii", total > 0)
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + combined score (pure column algebra)."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")

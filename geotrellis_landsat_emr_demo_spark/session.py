@@ -44,6 +44,16 @@ def build_session(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES with a 1 MiB floor
+        # (minPartitionSize, enforced even under parallelismFirst).  Our
+        # shuffle stages feed pandas UDFs whose cost is CPU per row
+        # (decode + merge + encode), so a few MB of compressed fragments
+        # coalesced to single-digit tasks idles 26 of 32 threads —
+        # measured: 384-scene ingest wall IDENTICAL at local[8] and
+        # local[32] (99.6 vs 99.1 s) with the closing stage at 6 tasks.
+        # 64 KiB keeps tiny-benchmark stages wide; at production scale
+        # partitions dwarf either floor, so this is scale-neutral.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
@@ -55,6 +65,15 @@ def build_session(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.maxResultSize", "4g")
     )
+    # Shuffle/spill scratch location.  On a cluster every executor has its
+    # own local disks, so shuffle bandwidth scales with executor count; in
+    # this single-box sandbox all threads share one device.  Point scratch
+    # at tmpfs (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...) to model
+    # per-executor-scaling scratch bandwidth in scaling experiments.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

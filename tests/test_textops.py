@@ -745,3 +745,32 @@ def test_prefix_filter_parity_sweep(spark):
         for k in brute:
             assert abs(got[k] - brute[k]) < 1e-9
         assert brute, f"trial {trial} must be non-vacuous"
+
+
+def test_pii_scrub(spark):
+    """Redaction + counts on planted PII, incl. tricky shapes: multiple
+    matches per doc, PII-free docs, an IP that must not be phone-matched."""
+    import pandas as pd
+
+    from geotrellis_landsat_emr_demo_spark.operators import textops
+
+    rows = [
+        dict(doc_id=0, text="mail a@b.io and c.d+x@e-f.org today"),
+        dict(doc_id=1, text="server 10.0.255.1 then call 555-123-4567"),
+        dict(doc_id=2, text="clean text with no pii at all"),
+        dict(doc_id=3, text="dotted phone 555.123.4567 and spaced 555 123 4567"),
+        dict(doc_id=4, text="ip 192.168.1.254 twice 192.168.1.254"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in textops.pii_scrub(
+            spark.createDataFrame(pd.DataFrame(rows))
+        ).collect()
+    }
+    assert out[0].n_email == 2 and out[0].text == "mail <EMAIL> and <EMAIL> today"
+    assert (out[1].n_ipv4, out[1].n_phone) == (1, 1)
+    assert out[1].text == "server <IP> then call <PHONE>"
+    assert out[2].text == rows[2]["text"] and not out[2].has_pii
+    assert out[3].n_phone == 2 and out[3].n_ipv4 == 0
+    assert out[4].n_ipv4 == 2 and out[4].text == "ip <IP> twice <IP>"
+    assert all(out[i].has_pii for i in (0, 1, 3, 4))

@@ -60,7 +60,15 @@ def ingest_job(spark, cpus: int, scenes: int, px: int) -> dict:
     from geotrellis_landsat_emr_demo_spark.catalog import Catalog
     from geotrellis_landsat_emr_demo_spark.operators import ingest
 
-    root = os.path.join(REPO, ".bench_data", f"scale-{cpus}")
+    # SCALE_DATA_ROOT: where the ingest catalog lives.  Default is repo
+    # disk (shared vda — saturates near 8 concurrent writers in current
+    # tenancy, see BENCH/BASELINE.md caveats).  Point at /dev/shm to model
+    # storage whose bandwidth scales with executor count (a cluster's
+    # per-executor disks / an object store's aggregate throughput).
+    data_root = os.environ.get(
+        "SCALE_DATA_ROOT", os.path.join(REPO, ".bench_data")
+    )
+    root = os.path.join(data_root, f"scale-{cpus}")
     shutil.rmtree(root, ignore_errors=True)
     cat = Catalog(root)
     cat.append_pandas(fixtures.images_pdf("t-bench", n_scenes=scenes, px=px), "images")
