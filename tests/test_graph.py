@@ -37,11 +37,20 @@ def test_connected_components_random_graphs(spark):
         b = rng.integers(0, n, m)
         edges = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
         df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
-        got = {r.node: r.component for r in graph.connected_components(df).collect()}
         expect = _uf_components(edges)
-        assert got == expect, f"trial {trial}"
-        # labels are component minima
-        assert all(v <= k for k, v in got.items())
+        # BOTH execution paths: the adaptive driver union-find (default at
+        # this size) and the distributed star/star loop (forced via
+        # driver_threshold=0) must agree with the oracle bit-for-bit
+        for thresh in (200_000, 0):
+            got = {
+                r.node: r.component
+                for r in graph.connected_components(
+                    df, driver_threshold=thresh
+                ).collect()
+            }
+            assert got == expect, f"trial {trial} thresh={thresh}"
+            # labels are component minima
+            assert all(v <= k for k, v in got.items())
 
 
 def test_connected_components_long_path(spark):
@@ -50,7 +59,10 @@ def test_connected_components_long_path(spark):
     and label every node with the path's minimum."""
     edges = [(i, i + 1) for i in range(500)]
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
-    got = {r.node: r.component for r in graph.connected_components(df).collect()}
+    got = {
+        r.node: r.component
+        for r in graph.connected_components(df, driver_threshold=0).collect()
+    }
     assert got == {i: 0 for i in range(501)}
 
 

@@ -32,14 +32,73 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# The suite measures the SCALE-PATH operators (the plans that run at
+# 100 TB): LSH near-dup / ANN variants, not their documented O(n^2)
+# brute-force baselines (embedding_near_dups / embedding_knn, which the
+# suite used through round 3 — quadratic work would dwarf the input-size
+# scaling the factor-k corpus below exists to exercise).
 JOIN_QUERIES = (
     "ngram_jaccard",
     "minhash_lsh_pairs",
-    "embedding_near_dups",
-    "embedding_knn",
+    "embedding_lsh_near_dups",
+    "ann_lsh_topk",
     "envelope_pip_join",
     "spacetime_key_agg",
 )
+
+
+def scaled_sf_dir(sf_dir: str, k: int) -> str:
+    """Materialize a k-times-replicated copy of the join-suite tables.
+
+    At sf0.1 the six queries finish in ~5 s total at local[32] — fixed
+    per-query costs (planning, job scheduling, python-worker handshakes)
+    dominate and the 8-vs-32 comparison measures overhead, not scaling.
+    Replicas are SALTED (per-replica text token, offset ids, epsilon on
+    one embedding component) so replicas are not EXACT duplicates.  A
+    one-token salt does NOT push replica Jaccard below high near-dup
+    thresholds, so pair outputs still grow ~k^2 within the corpus'
+    planted near-dup families — the workload is therefore a FIXED
+    apples-to-apples job for the two-level comparison (identical input,
+    identical 52.6M-row output at both levels), but its rows/sec is not
+    comparable across different k.  Built once (deterministic), reused
+    by every level/rep."""
+    import numpy as np
+    import pandas as pd
+
+    out = os.path.join(REPO, ".bench_data", f"joinscale-{k}")
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    OFF = 10_000_000
+    dparts, eparts, vparts = [], [], []
+    for i in range(k):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + i * OFF
+        d["text"] = d["text"] + f" r{i}"
+        dparts.append(d)
+        v = ev.copy()
+        v["event_id"] = v["event_id"] + i * OFF
+        v["user_id"] = v["user_id"] + i * 1_000_000
+        eparts.append(v)
+        # embeddings replicate at k/4 (the ANN ops are superlinear in
+        # candidate-bucket density; docs/events carry the linear scaling)
+        if i % 4 == 0:
+            e = emb.copy()
+            e["vec_id"] = e["vec_id"] + i * OFF
+            e["embedding"] = e["embedding"].map(
+                lambda a, _i=i: (np.asarray(a, dtype=np.float32)
+                                 + np.float32(_i) * np.float32(1e-3)).tolist()
+            )
+            vparts.append(e)
+    pd.concat(dparts).to_parquet(f"{out}/documents.parquet", index=False)
+    pd.concat(eparts).to_parquet(f"{out}/events.parquet", index=False)
+    pd.concat(vparts).to_parquet(f"{out}/embeddings.parquet", index=False)
+    open(marker, "w").write("ok")
+    return out
 
 
 def build(cpus: int):
@@ -159,6 +218,8 @@ def main():
     px = int(os.environ.get("SCALE_PX", "768"))
     reps = int(os.environ.get("SCALE_REPS", "2"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    join_k = int(os.environ.get("SCALE_JOIN_K", "16"))
+    join_dir = scaled_sf_dir(sf_dir, join_k) if join_k > 1 else sf_dir
 
     # SCALE_SUITES: comma list of ingest,joins,cpu (default all) — rerun
     # a single contended suite without paying for the others
@@ -177,8 +238,8 @@ def main():
                 ingest_job(spark, cpus, scenes, px)
                 r = ingest_job(spark, cpus, scenes, px)
             if "joins" in suites:
-                joins_job(spark, sf_dir)
-                r.update(joins_job(spark, sf_dir))
+                joins_job(spark, join_dir)
+                r.update(joins_job(spark, join_dir))
             if "cpu" in suites:
                 cpu_job(spark, sf_dir)
                 r.update(cpu_job(spark, sf_dir))
@@ -210,7 +271,7 @@ def main():
             n8=round(probe[8], 1), n32=round(probe[32], 1),
             efficiency=round(probe["efficiency"], 3),
         ),
-        config=dict(scenes=scenes, px=px, sf_dir=sf_dir, reps=reps),
+        config=dict(scenes=scenes, px=px, sf_dir=sf_dir, join_k=join_k, reps=reps),
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # raw report per run; BENCH/BASELINE.md is curated from the best
@@ -233,7 +294,7 @@ one JVM, levels interleaved, warmup pass per level (page cache /\nJIT / python w
 
 **scaling efficiency: {eff_ingest:.3f}**
 
-## Dedup/join workload ({', '.join(JOIN_QUERIES)}; sf0.1)
+## Dedup/join workload ({', '.join(JOIN_QUERIES)}; sf0.1 x{join_k} salted replicas)
 
 | parallelism | input rows/sec |
 |---|---|
