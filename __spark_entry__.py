@@ -1087,6 +1087,102 @@ def sql_pii_scrub():
     """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (engine:
+    operators.textops.stratified_sample): keep 30% of English (the
+    overrepresented class), 100% of French, 60% of everything else —
+    membership depends only on md5(salt, doc_id), so the oracle twin
+    reproduces it exactly."""
+    from geotrellis_landsat_emr_demo_spark.operators import textops
+
+    d = _t(spark, sf_dir, "documents")
+    out = textops.stratified_sample(
+        d, {"en": 0.3, "fr": 1.0}, default_frac=0.6, salt="mix1"
+    )
+    return out.select("doc_id", "lang")
+
+
+def sql_stratified_sample():
+    t_en = int(0.3 * float(1 << 32))
+    t_fr = int(1.0 * float(1 << 32))
+    t_def = int(0.6 * float(1 << 32))
+    return f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CAST(('0x' || substring(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < CASE lang WHEN 'en' THEN {t_en}
+                          WHEN 'fr' THEN {t_fr}
+                          ELSE {t_def} END
+    """
+
+
+_BOILERPLATE = "the common boilerplate paragraph every crawl collects"
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style global paragraph dedup, first-wins (engine:
+    operators.textops.paragraph_dedup).  The flat synthetic texts carry
+    no paragraph structure, so both twins synthesize it identically:
+    three token-slice paragraphs per doc, with every 5th doc's middle
+    paragraph replaced by a shared boilerplate string — the planted
+    cross-doc duplicate that only its first occurrence survives."""
+    from geotrellis_landsat_emr_demo_spark.operators import textops
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    p1 = F.concat_ws(" ", F.slice(toks, 1, 10))
+    p2 = F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILERPLATE)).otherwise(
+        F.concat_ws(" ", F.slice(toks, 11, 10))
+    )
+    p3 = F.concat_ws(" ", F.slice(toks, 21, 10))
+    structured = d.select("doc_id", F.concat_ws("\n", p1, p2, p3).alias("text"))
+    return textops.paragraph_dedup(structured)
+
+
+def sql_paragraph_dedup():
+    return f"""
+        WITH lists AS (
+          SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ),
+        structured AS (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                   array_to_string(l[1:10], ' '),
+                   CASE WHEN doc_id % 5 = 0
+                        THEN '{_BOILERPLATE}'
+                        ELSE array_to_string(l[11:20], ' ') END,
+                   array_to_string(l[21:30], ' ')) AS text
+          FROM lists
+        ),
+        plists AS (
+          SELECT doc_id, string_split(text, chr(10)) AS pl FROM structured
+        ),
+        numbered AS (
+          SELECT doc_id, pl, unnest(range(1, len(pl) + 1)) AS pos FROM plists
+        ),
+        paras AS (
+          SELECT doc_id, pos, pl[pos] AS para
+          FROM numbered WHERE pl[pos] <> ''
+        ),
+        flagged AS (
+          SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+                   AS is_first
+          FROM paras
+        )
+        SELECT doc_id,
+               coalesce(
+                 string_agg(CASE WHEN is_first THEN para END, chr(10)
+                            ORDER BY pos),
+                 '') AS text,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+        FROM flagged
+        GROUP BY doc_id
+    """
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary analysis: top-10 tokens per language by frequency
     (count desc, token asc tie-break) — the heavy-hitter rollup every
@@ -1726,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "quality_filter": q_quality_filter,
         "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
+        "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_stats": q_lang_stats,
@@ -1774,6 +1872,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": sql_quality_score(),
         "quality_filter": sql_quality_filter(),
         "pii_scrub": sql_pii_scrub(),
+        "paragraph_dedup": sql_paragraph_dedup(),
+        "stratified_sample": sql_stratified_sample(),
         "vocab_topk": sql_vocab_topk(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "lang_stats": sql_lang_stats(),

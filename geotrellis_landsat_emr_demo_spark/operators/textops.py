@@ -814,6 +814,40 @@ def train_test_split(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    default_frac: float = 0.0,
+    salt: str = "sample0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group downsampling — the language-rebalancing
+    stage of a corpus mix (e.g. keep 10% of English, 100% of low-resource
+    languages).  Same engine-portable md5 bucket as
+    :func:`train_test_split` (membership depends only on (salt, id):
+    stable under corpus growth, repartitioning, and re-runs; any engine
+    with md5 reproduces it), compared against a PER-GROUP threshold via
+    an in-plan literal map (tiny: one entry per group).  Groups absent
+    from ``fractions`` fall back to ``default_frac``.  Pure column
+    algebra: a narrow filter over the scan, no shuffle, no UDF."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    pairs: list = []
+    for g, frac in sorted(fractions.items()):
+        pairs += [F.lit(g), F.lit(int(frac * float(1 << 32)))]
+    thresh = F.coalesce(
+        F.create_map(*pairs)[F.col(group_col)],
+        F.lit(int(default_frac * float(1 << 32))),
+    )
+    return docs.filter(bucket < thresh)
+
+
 # ---------------------------------------------------------------- analysis --
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -825,6 +859,62 @@ def token_stats(docs: DataFrame) -> DataFrame:
             "word_tokens"
         ),
         F.length("text").alias("chars"),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document paragraph-level exact dedup, global first-wins —
+    the C4 / RefinedWeb line-dedup stage: a paragraph survives only at
+    its FIRST occurrence in the corpus (min doc_id, then min position;
+    later copies are dropped everywhere, including later positions of
+    the same doc).  Returns (doc_id, text, n_paras, n_kept) with the
+    surviving paragraphs rejoined in original order (empty paragraphs
+    are dropped up front; a fully-deduplicated doc keeps a row with
+    empty text — the quality filter downstream sees n_kept=0).
+
+    Scale shape: one shuffle keyed by paragraph (the first-occurrence
+    window — key cardinality is the distinct-paragraph count, which
+    grows sublinearly in a duplicate-heavy crawl) and one shuffle back
+    on doc_id to reassemble; no UDF, no driver state.  (At extreme
+    paragraph sizes, hash the paragraph first and verify — here the
+    window keys the raw string, which is exact.)"""
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.length("para") > 0)
+    w = Window.partitionBy("para").orderBy(id_col, "pos")
+    flagged = paras.withColumn(
+        "is_first", F.row_number().over(w) == 1
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            # when() without otherwise() -> null for
+                            # dropped copies; collect_list skips nulls
+                            F.when(
+                                F.col("is_first"), F.struct("pos", "para")
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias(text_col),
+        )
+        .select(id_col, text_col, "n_paras", "n_kept")
     )
 
 

@@ -774,3 +774,61 @@ def test_pii_scrub(spark):
     assert out[3].n_phone == 2 and out[3].n_ipv4 == 0
     assert out[4].n_ipv4 == 2 and out[4].text == "ip <IP> twice <IP>"
     assert all(out[i].has_pii for i in (0, 1, 3, 4))
+
+
+def test_paragraph_dedup(spark):
+    """Global first-wins paragraph dedup: cross-doc and within-doc copies
+    drop, order is preserved, empties are filtered, a fully-deduped doc
+    keeps an empty-text row."""
+    import pandas as pd
+
+    from geotrellis_landsat_emr_demo_spark.operators import textops
+
+    rows = [
+        dict(doc_id=0, text="A\nB\nC"),
+        dict(doc_id=1, text="B\nD"),      # B seen in doc 0 -> dropped
+        dict(doc_id=2, text="A\nA"),      # both copies lose to doc 0
+        dict(doc_id=3, text="E\nE"),      # within-doc: first E wins
+        dict(doc_id=4, text="F\n\nG"),    # empty paragraph filtered
+    ]
+    out = {
+        r.doc_id: r
+        for r in textops.paragraph_dedup(
+            spark.createDataFrame(pd.DataFrame(rows))
+        ).collect()
+    }
+    assert (out[0].text, out[0].n_paras, out[0].n_kept) == ("A\nB\nC", 3, 3)
+    assert (out[1].text, out[1].n_paras, out[1].n_kept) == ("D", 2, 1)
+    assert (out[2].text, out[2].n_paras, out[2].n_kept) == ("", 2, 0)
+    assert (out[3].text, out[3].n_paras, out[3].n_kept) == ("E", 2, 1)
+    assert (out[4].text, out[4].n_paras, out[4].n_kept) == ("F\nG", 2, 2)
+
+
+def test_stratified_sample(spark):
+    """Per-group sampling: rates land near targets, membership is
+    deterministic and stable under corpus growth, fraction 1.0 keeps
+    everything, 0.0 (default for unmapped groups) drops everything."""
+    import pandas as pd
+
+    from geotrellis_landsat_emr_demo_spark.operators import textops
+
+    rows = [
+        dict(doc_id=i, lang=("en" if i % 3 else "fr"), text="x")
+        for i in range(900)
+    ] + [dict(doc_id=10_000 + i, lang="xx", text="x") for i in range(50)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = textops.stratified_sample(docs, {"en": 0.5, "fr": 1.0}).toPandas()
+    by = out.groupby("lang").size().to_dict()
+    assert by.get("fr") == 300          # frac 1.0: every fr doc kept
+    assert "xx" not in by               # default_frac 0.0 drops unmapped
+    assert 240 <= by["en"] <= 360       # ~50% of 600, md5-uniform
+    # determinism + growth stability: same ids keep membership when the
+    # corpus doubles
+    kept1 = set(out[out.lang == "en"].doc_id)
+    bigger = spark.createDataFrame(
+        pd.DataFrame(rows + [dict(doc_id=20_000 + i, lang="en", text="x")
+                             for i in range(500)])
+    )
+    out2 = textops.stratified_sample(bigger, {"en": 0.5, "fr": 1.0}).toPandas()
+    kept2 = set(out2[(out2.lang == "en") & (out2.doc_id < 10_000)].doc_id)
+    assert kept1 == kept2

@@ -324,14 +324,22 @@ compute/memory-bandwidth ceiling of this box.
 
 ## Caveats (local-mode measurement, not cluster)
 
-- All parallelism levels share ONE machine: one memory-bandwidth and one
-  disk-I/O budget, shared with other tenants (observed run-to-run stage
-  variance up to 3x at identical configs). A real 4N-executor cluster
-  multiplies memory channels, disks, and NICs with executor count; the
-  local Spark-job efficiency below the kernel probe's ceiling is
-  shuffle/Arrow byte movement, which distributes on a cluster.
-- Shuffles run through the local disk of one host; on a cluster they
-  spread across N machines' disks and NICs.
+- All parallelism levels share ONE machine: one memory-bandwidth budget,
+  shared with other tenants (observed run-to-run stage variance up to 3x
+  at identical configs). A real 4N-executor cluster multiplies memory
+  channels, disks, and NICs with executor count; the local Spark-job
+  efficiency below the kernel probe's ceiling is shuffle/Arrow byte
+  movement, which distributes on a cluster.
+- Disk is NOT the limiter in current tenancy: an r04 A/B with catalog +
+  Spark scratch entirely on tmpfs reproduced the disk-backed numbers
+  (BENCH/BASELINE.md).  The historical sub-1.0 n32/n8 ratios were AQE's
+  1 MiB min-partition floor coalescing pandas-UDF stages to single-digit
+  tasks, fixed in session.py (64 KiB floor).
+- The >= 0.8 target is above this box's Spark-free ceiling for
+  bandwidth-bound work (kernel probe ~0.6); the cpu suite measures AT
+  that ceiling and the join suite above it (0.73) — the residual gap is
+  single-socket hardware, which executor count multiplies away on a
+  cluster.
 - The plans themselves shard by partition count ({scenes} scene
   partitions, {{cpus}} shuffle partitions) with no driver-side
   serialization points except the atomic commit (O(files), not O(rows)).

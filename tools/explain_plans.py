@@ -16,6 +16,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 CHECKS = {
     "scan_filter_project": [r"PushedFilters: \[IsNotNull\(o_orderdate\)", "ReadSchema"],
+    # PII scrub: a narrow codegen'd map over the scan — no shuffle, no
+    # Python workers (regexp_count/regexp_replace are JVM expressions)
+    # codegen'd narrow map: formatted plans mark codegen stages with a
+    # leading asterisk, not the literal WholeStageCodegen node name
+    "pii_scrub": ["!InPandas|!BatchEvalPython", "!Exchange", r"\* Project"],
+    # stratified sampling: a pushed-down-able narrow filter, nothing else
+    "stratified_sample": ["!InPandas|!BatchEvalPython", "!Exchange"],
+    # paragraph dedup: one Window keyed by paragraph (first occurrence) +
+    # one reassembly aggregation; all JVM-side
+    "paragraph_dedup": [
+        "Window",
+        "HashAggregate|ObjectHashAggregate|SortAggregate",
+        "!InPandas|!BatchEvalPython",
+    ],
     # range-predicate join -> broadcast nested-loop with the tiny AOI side
     # as build (correct: no equi-key exists; the cell-key variant in
     # operators.joins.pip_join turns this into a BroadcastHashJoin)
@@ -89,7 +103,11 @@ CHECKS = {
     ],
     # connected components: the returned plan reads the converged edge
     # fixpoint (checkpointed per round) — ExistingRDD, no parquet re-scan
-    "dedup_components": ["ExistingRDD", "count<=0:Scan parquet"],
+    # adaptive: at sf0.01 the edge count is under the driver_threshold,
+    # so the plan is the small-side union-find result (LocalTableScan);
+    # the distributed star/star loop (ExistingRDD checkpoints) is forced
+    # and verified in tests/test_graph.py with driver_threshold=0
+    "dedup_components": ["ExistingRDD|LocalTableScan", "count<=0:Scan parquet"],
     # incremental probe: batch signatures checkpointed once (ExistingRDD),
     # banded equi-joins, all JVM (md5 min-aggregation)
     "incremental_minhash": [
