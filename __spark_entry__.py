@@ -1087,6 +1087,33 @@ def sql_pii_scrub():
     """
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-source corpus profiling rollup: doc counts, mean and exact
+    p50/p90 document lengths — the dataset-card summary every published
+    corpus ships.  Exact interpolated percentiles (Spark ``percentile``
+    == DuckDB ``quantile_cont``, both linear interpolation); one
+    partial+final aggregation, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 3).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 3).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 3).alias("p90_chars"),
+    )
+
+
+def sql_corpus_profile():
+    return """
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(n_chars), 3) AS mean_chars,
+               round(quantile_cont(n_chars, 0.5), 3) AS p50_chars,
+               round(quantile_cont(n_chars, 0.9), 3) AS p90_chars
+        FROM documents
+        GROUP BY source
+    """
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language downsampling (engine:
     operators.textops.stratified_sample): keep 30% of English (the
@@ -1824,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
+        "corpus_profile": q_corpus_profile,
         "vocab_topk": q_vocab_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_stats": q_lang_stats,
@@ -1874,6 +1902,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": sql_pii_scrub(),
         "paragraph_dedup": sql_paragraph_dedup(),
         "stratified_sample": sql_stratified_sample(),
+        "corpus_profile": sql_corpus_profile(),
         "vocab_topk": sql_vocab_topk(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "lang_stats": sql_lang_stats(),

@@ -312,3 +312,36 @@ def test_layer_attrs(tsmall_catalog):
     specs = fixtures.scene_specs("t-small")
     assert ext["xmin"] == min(s["xmin"] for s in specs)
     assert ext["ymax"] == max(s["ymax"] for s in specs)
+
+
+def test_export_tiles_static_tree(spark, tsmall_catalog, svc):
+    """Static z/x/y export: every leaf tile lands as a PNG, bytes are
+    pixel-identical to the live server's render_tile for the same keys,
+    and the metrics row matches the file tree."""
+    import glob
+    import os
+    import shutil
+
+    from geotrellis_landsat_emr_demo_spark.operators import export
+
+    out = os.path.join(os.path.dirname(tsmall_catalog.root), "export_tree")
+    shutil.rmtree(out, ignore_errors=True)
+    m = export.export_tiles(
+        spark, tsmall_catalog, "landsat", 13, out, operation="ndvi"
+    )
+    files = glob.glob(os.path.join(out, "landsat", "ndvi", "*", "13", "*", "*.png"))
+    keys = tsmall_catalog.read_pandas("tiles", columns=["zoom", "x", "y", "ts"])
+    leaf = keys[keys.zoom == 13]
+    assert m["tiles"] == len(leaf) == len(files)
+    assert m["bytes"] == sum(os.path.getsize(f) for f in files)
+    # pixel parity with the serving path on a few keys
+    for row in leaf.head(3).itertuples(index=False):
+        tkey = row.ts.strftime("%Y%m%dT%H%M%SZ")
+        tiso = row.ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        path = os.path.join(
+            out, "landsat", "ndvi", tkey, "13", str(row.x), f"{row.y}.png"
+        )
+        with open(path, "rb") as f:
+            assert f.read() == svc.render_tile(
+                "landsat", 13, int(row.x), int(row.y), tiso, "ndvi"
+            )
