@@ -321,6 +321,63 @@ class Catalog:
         d = os.path.join(self.root, "_history")
         return sorted(int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json"))
 
+    def expire_snapshots(
+        self, keep_last: int = 3, older_than_s: float = 3600.0
+    ) -> dict:
+        """Iceberg's ``expire_snapshots`` + ``remove_orphan_files``:
+        drop all but the newest ``keep_last`` archived snapshots, then
+        physically delete data files referenced by NO retained manifest
+        (live or archived) — compaction/replace retain old files forever
+        otherwise, and at 100 TB the storage bill is dominated by exactly
+        those.  Time travel older than the horizon becomes unavailable
+        (as in Iceberg).
+
+        ``older_than_s`` protects in-flight writers: an unreferenced file
+        is only deleted if its mtime is at least this old — a staged
+        write that has not committed yet is never newer work than the
+        cutoff (Iceberg's orphan-removal age guard).  Runs under the
+        commit lock; returns {snapshots_removed, files_removed,
+        bytes_removed}."""
+        hist_dir = os.path.join(self.root, "_history")
+        with self._commit_lock():
+            snaps = self.history()
+            drop = snaps[:-keep_last] if keep_last > 0 else snaps
+            for s in drop:
+                os.remove(os.path.join(hist_dir, f"{s}.json"))
+            # referenced = union of file relpaths across the live manifest
+            # and every RETAINED archived manifest
+            manifests = [self._read_manifest()]
+            for s in self.history():
+                with open(os.path.join(hist_dir, f"{s}.json")) as f:
+                    manifests.append(json.load(f))
+            referenced = {
+                self._entry_path(e)
+                for m in manifests
+                for entry in m.get("tables", {}).values()
+                for e in entry["files"]
+            }
+            cutoff = time.time() - older_than_s
+            files_removed = bytes_removed = 0
+            for dirpath, dirnames, filenames in os.walk(self.root):
+                if os.path.basename(dirpath) == "_history":
+                    dirnames.clear()
+                    continue
+                for fn in filenames:
+                    if not fn.endswith(".parquet"):
+                        continue  # manifests, locks, markers stay
+                    p = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(p, self.root)
+                    st = os.stat(p)
+                    if rel not in referenced and st.st_mtime <= cutoff:
+                        bytes_removed += st.st_size
+                        os.remove(p)
+                        files_removed += 1
+            return dict(
+                snapshots_removed=len(drop),
+                files_removed=files_removed,
+                bytes_removed=bytes_removed,
+            )
+
     def rollback(self, snapshot: int) -> int:
         """Time-travel: atomically restore the manifest of ``snapshot``.
 

@@ -138,3 +138,42 @@ def test_manifest_cache_invalidates_on_external_write():
     cat_w.append_pandas(pd.DataFrame({"a": [2]}), "t")
     assert cat_r.snapshot_id() == s0 + 1  # cache invalidated by new stat
     assert sorted(cat_r.read_pandas("t")["a"]) == [1, 2]
+
+
+def test_expire_snapshots_and_orphans(tmp_path):
+    """expire_snapshots: history beyond keep_last drops, data files no
+    retained manifest references are physically deleted (with the
+    in-flight age guard), and the live table remains readable."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.append_pandas(pd.DataFrame({"a": [1, 2]}), "t")          # snap 1
+    old_file = cat.files("t")[0]
+    # rewrite the table -> old file only reachable via history
+    new_path = os.path.join(cat.table_dir("t"), "rewrite.parquet")
+    import pyarrow as pa
+
+    pq.write_table(pa.table({"a": [1, 2]}), new_path)
+    cat.replace("t", [new_path])                                  # snap 2
+    # a recent uncommitted staged file must survive the age guard
+    staged = os.path.join(cat.table_dir("t"), "staged.parquet")
+    pq.write_table(pa.table({"a": [9]}), staged)
+    os.utime(old_file, (time.time() - 10, time.time() - 10))
+    # keep_last=1 RETAINS the pre-rewrite snapshot -> the old file is
+    # still time-travel-reachable and must survive
+    assert cat.expire_snapshots(keep_last=1, older_than_s=5)["files_removed"] == 0
+    assert os.path.exists(old_file)
+    # dropping all history releases it
+    stats = cat.expire_snapshots(keep_last=0, older_than_s=5)
+    assert stats["files_removed"] == 1 and not os.path.exists(old_file)
+    assert os.path.exists(staged)            # too new -> protected
+    assert cat.read_pandas("t").a.tolist() == [1, 2]   # live read intact
+    # aged + still uncommitted -> removed by the next run
+    os.utime(staged, (time.time() - 10, time.time() - 10))
+    assert cat.expire_snapshots(keep_last=1, older_than_s=5)["files_removed"] == 1
