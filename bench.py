@@ -55,6 +55,11 @@ HEADLINE = [
     "embedding_lsh_near_dups",
     "embedding_ivf_topk",
     "kmeans_assign",
+    # round-4 pipeline stages
+    "pii_scrub",
+    "paragraph_dedup",
+    "stratified_sample",
+    "corpus_profile",
 ]
 
 

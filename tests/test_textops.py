@@ -832,3 +832,45 @@ def test_stratified_sample(spark):
     out2 = textops.stratified_sample(bigger, {"en": 0.5, "fr": 1.0}).toPandas()
     kept2 = set(out2[(out2.lang == "en") & (out2.doc_id < 10_000)].doc_id)
     assert kept1 == kept2
+
+
+def test_paragraph_dedup_random_oracle(spark):
+    """Randomized corpora vs a python oracle: global first-wins by
+    (doc_id, pos), order preserved, counts exact."""
+    import random
+
+    import pandas as pd
+
+    from geotrellis_landsat_emr_demo_spark.operators import textops
+
+    rng = random.Random(77)
+    vocab = [f"p{j}" for j in range(12)]  # small vocab -> many collisions
+    for trial in range(3):
+        rows = [
+            dict(
+                doc_id=i,
+                text="\n".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 6))
+                ),
+            )
+            for i in range(40)
+        ]
+        got = {
+            r.doc_id: (r.text, r.n_paras, r.n_kept)
+            for r in textops.paragraph_dedup(
+                spark.createDataFrame(pd.DataFrame(rows))
+            ).collect()
+        }
+        seen, expect = set(), {}
+        for r in rows:  # rows are doc_id-ascending: oracle order == global
+            kept = []
+            paras = [p for p in r["text"].split("\n") if p]
+            for p in paras:
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            expect[r["doc_id"]] = ("\n".join(kept), len(paras), len(kept))
+        assert got == expect, f"trial {trial}"
+        # every distinct paragraph survives exactly once, corpus-wide
+        survivors = [p for t, _, _ in got.values() for p in t.split("\n") if p]
+        assert sorted(survivors) == sorted(seen)
