@@ -31,9 +31,11 @@ from ..core import kernels
 
 SUPPORTED_FMTS = {"npy-u16", "npy-u16-z", "jq75", "png-u16"}
 
-# Pluggable decoder seam for foreign container formats (jpeg/webp/mp4...):
-# fmt -> callable(bytes) -> ndarray.  A real deployment registers e.g.
-#   register_decoder("jpeg", lambda b: np.asarray(PIL.Image.open(BytesIO(b))))
+# Pluggable decoder seam for foreign container formats (webp/mp4/...):
+# fmt -> callable(bytes) -> ndarray.  Baseline JPEG is built in (see
+# _jpeg_decode below — core.jpeg, a pure-numpy T.81 codec, registered by
+# default); a real deployment adds the rest, e.g.
+#   register_decoder("webp", lambda b: np.asarray(PIL.Image.open(BytesIO(b))))
 # Registrations are snapshotted INTO each operator's closure at plan-build
 # time (see _decoder_snapshot), so they serialize with the mapInPandas
 # function and work on remote executors — a module-global lookup at decode
@@ -54,6 +56,20 @@ def unregister_decoder(fmt: str) -> None:
 
 def _decoder_snapshot() -> dict:
     return dict(_DECODERS)
+
+
+def _jpeg_decode(payload: bytes) -> "np.ndarray":
+    """Built-in baseline JPEG decoder (core.jpeg — pure numpy, T.81
+    bitstream): grayscale -> (h, w); RGB -> (3, h, w) band layout."""
+    from ..core import jpeg
+
+    arr = jpeg.decode(payload)
+    return arr.transpose(2, 0, 1) if arr.ndim == 3 else arr
+
+
+# baseline JPEG decodes out of the box (no foreign libs needed); webp/mp4
+# and progressive/subsampled JPEG remain behind the register_decoder seam
+register_decoder("jpeg", _jpeg_decode)
 
 
 def _decode(payload: bytes, fmt: str, extra: dict | None = None) -> np.ndarray:

@@ -49,13 +49,21 @@ def test_verify_phash(images):
 
 
 def test_unknown_fmt_raises(spark):
+    """webp stays behind the register_decoder seam (jpeg is built in now
+    — core.jpeg — so a corrupt jpeg is a PARSE error, not a missing
+    decoder)."""
     import pandas as pd
 
     df = spark.createDataFrame(
-        pd.DataFrame([dict(image_id="x", bytes=b"\xff\xd8jpegdata", fmt="jpeg")])
+        pd.DataFrame([dict(image_id="x", bytes=b"RIFF....WEBP", fmt="webp")])
     )
     with pytest.raises(Exception, match="NotImplementedError|decoder for fmt"):
         multimodal.decode_stats(df).collect()
+    bad = spark.createDataFrame(
+        pd.DataFrame([dict(image_id="x", bytes=b"\xff\xd8jpegdata", fmt="jpeg")])
+    )
+    with pytest.raises(Exception, match="expected marker"):
+        multimodal.decode_stats(bad).collect()
 
 
 def test_frame_sample_fanout(images):
