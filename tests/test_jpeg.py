@@ -99,3 +99,14 @@ def test_multimodal_registry_e2e(spark):
         ref = imgs[r.image_id].astype(float)
         ref = ref[ref != 0]
         assert abs(r.mean - ref.mean()) < 3.0  # lossy but close
+
+
+def test_edge_dimensions():
+    """Degenerate sizes: 1x1, single row/col, exact block, block+1 — the
+    pad-to-8/crop-back path must be exact about shapes."""
+    rng = np.random.default_rng(3)
+    for h, w in ((1, 1), (1, 17), (9, 1), (8, 8), (9, 8), (7, 9)):
+        img = rng.integers(0, 256, (h, w), np.uint8)
+        out = jpeg.decode(jpeg.encode_gray(img, 95))
+        assert out.shape == (h, w)
+        assert psnr(img, out) >= 30
