@@ -1196,17 +1196,24 @@ def sql_paragraph_dedup():
                  row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
                    AS is_first
           FROM paras
+        ),
+        agg AS (
+          SELECT doc_id,
+                 coalesce(
+                   string_agg(CASE WHEN is_first THEN para END, chr(10)
+                              ORDER BY pos),
+                   '') AS text,
+                 CAST(count(*) AS BIGINT) AS n_paras,
+                 CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+          FROM flagged
+          GROUP BY doc_id
         )
-        SELECT doc_id,
-               coalesce(
-                 string_agg(CASE WHEN is_first THEN para END, chr(10)
-                            ORDER BY pos),
-                 '') AS text,
-               CAST(count(*) AS BIGINT) AS n_paras,
-               CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_kept
-        FROM flagged
-        GROUP BY doc_id
+        SELECT s.doc_id,
+               coalesce(a.text, '') AS text,
+               coalesce(a.n_paras, 0) AS n_paras,
+               coalesce(a.n_kept, 0) AS n_kept
+        FROM structured s LEFT JOIN agg a USING (doc_id)
     """
 
 

@@ -367,11 +367,18 @@ class Catalog:
                         continue  # manifests, locks, markers stay
                     p = os.path.join(dirpath, fn)
                     rel = os.path.relpath(p, self.root)
-                    st = os.stat(p)
-                    if rel not in referenced and st.st_mtime <= cutoff:
-                        bytes_removed += st.st_size
-                        os.remove(p)
-                        files_removed += 1
+                    # A file vanishing between the walk listing and the
+                    # stat/remove means a concurrent staged write just
+                    # finalized (temp part-file renamed) — by definition
+                    # not an orphan to delete; skip, don't crash.
+                    try:
+                        st = os.stat(p)
+                        if rel not in referenced and st.st_mtime <= cutoff:
+                            bytes_removed += st.st_size
+                            os.remove(p)
+                            files_removed += 1
+                    except FileNotFoundError:
+                        continue
             return dict(
                 snapshots_removed=len(drop),
                 files_removed=files_removed,

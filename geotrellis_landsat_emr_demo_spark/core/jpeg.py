@@ -326,7 +326,8 @@ def decode(data: bytes) -> np.ndarray:
     Reads every table from the file.  Raises ``NotImplementedError`` for
     progressive scans, chroma subsampling, 12-bit precision, or
     arithmetic coding."""
-    assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtbls: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -335,6 +336,11 @@ def decode(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -391,7 +397,8 @@ def decode(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tda = body[1 + 2 * i], body[2 + 2 * i]
                 sel[cid] = (tda >> 4, tda & 0x0F)
-            assert sof is not None, "SOS before SOF"
+            if sof is None:
+                raise ValueError("SOS before SOF")
             return _decode_scan(data, pos, sof, sel, qtbls, huff, restart_interval)
         # APPn / COM / others: skipped
     raise ValueError("no SOS marker found")

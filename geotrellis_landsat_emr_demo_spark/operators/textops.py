@@ -875,7 +875,10 @@ def paragraph_dedup(
     the same doc).  Returns (doc_id, text, n_paras, n_kept) with the
     surviving paragraphs rejoined in original order (empty paragraphs
     are dropped up front; a fully-deduplicated doc keeps a row with
-    empty text — the quality filter downstream sees n_kept=0).
+    empty text — the quality filter downstream sees n_kept=0).  Docs
+    whose paragraphs are ALL empty (separator-only / empty text) also
+    keep an output row (text='', n_paras=0, n_kept=0): no row loss, so
+    downstream doc accounting stays exact.
 
     Scale shape: one shuffle keyed by paragraph (the first-occurrence
     window — key cardinality is the distinct-paragraph count, which
@@ -893,28 +896,37 @@ def paragraph_dedup(
     flagged = paras.withColumn(
         "is_first", F.row_number().over(w) == 1
     )
-    return (
-        flagged.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_paras"),
-            F.sum(F.col("is_first").cast("long")).alias("n_kept"),
-            F.concat_ws(
-                sep,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            # when() without otherwise() -> null for
-                            # dropped copies; collect_list skips nulls
-                            F.when(
-                                F.col("is_first"), F.struct("pos", "para")
-                            )
+    agg = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        # when() without otherwise() -> null for
+                        # dropped copies; collect_list skips nulls
+                        F.when(
+                            F.col("is_first"), F.struct("pos", "para")
                         )
-                    ),
-                    lambda s: s["para"],
+                    )
                 ),
-            ).alias(text_col),
+                lambda s: s["para"],
+            ),
+        ).alias(text_col),
+    )
+    # Left-join back onto the doc set: a doc whose paragraphs were all
+    # empty has no row in `agg` (every row was filtered pre-window) and
+    # would otherwise vanish from the output entirely.
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_paras", F.lit(0).cast("long")).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
-        .select(id_col, text_col, "n_paras", "n_kept")
     )
 
 
@@ -929,7 +941,9 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
-def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Redact PII (emails, IPv4s, phone-shaped numbers) and count matches
     — the scrubbing stage every training-data pipeline runs before
     publishing a corpus.
@@ -947,7 +961,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     out = docs.select(
-        "doc_id",
+        id_col,
         scrubbed.alias(text_col),
         *counts,
     )

@@ -75,8 +75,21 @@ def test_progressive_raises():
 
 
 def test_not_a_jpeg_rejected():
-    with pytest.raises(AssertionError, match="SOI"):
+    # ValueError (not assert) so validation survives `python -O`
+    with pytest.raises(ValueError, match="SOI"):
         jpeg.decode(b"\x89PNG\r\n")
+
+
+def test_ff_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker; conforming external JPEGs use this and must still parse."""
+    img = _smooth()
+    data = jpeg.encode_gray(img, 90)
+    i = data.find(b"\xff\xdb")  # pad before the first DQT marker
+    assert i > 0
+    padded = data[:i] + b"\xff" * 5 + data[i:]
+    out = jpeg.decode(padded)
+    assert out.shape == img.shape and psnr(img, out) >= 35
 
 
 def test_multimodal_registry_e2e(spark):

@@ -774,6 +774,15 @@ def test_pii_scrub(spark):
     assert out[3].n_phone == 2 and out[3].n_ipv4 == 0
     assert out[4].n_ipv4 == 2 and out[4].text == "ip <IP> twice <IP>"
     assert all(out[i].has_pii for i in (0, 1, 3, 4))
+    # id_col is parameterized (frames without a doc_id column work)
+    custom = textops.pii_scrub(
+        spark.createDataFrame(
+            pd.DataFrame([dict(uid="u1", body="mail a@b.io now")])
+        ),
+        text_col="body",
+        id_col="uid",
+    ).collect()
+    assert custom[0].uid == "u1" and custom[0].body == "mail <EMAIL> now"
 
 
 def test_paragraph_dedup(spark):
@@ -790,6 +799,8 @@ def test_paragraph_dedup(spark):
         dict(doc_id=2, text="A\nA"),      # both copies lose to doc 0
         dict(doc_id=3, text="E\nE"),      # within-doc: first E wins
         dict(doc_id=4, text="F\n\nG"),    # empty paragraph filtered
+        dict(doc_id=5, text="\n\n"),      # separator-only: all paras empty
+        dict(doc_id=6, text=""),          # fully empty text
     ]
     out = {
         r.doc_id: r
@@ -797,11 +808,15 @@ def test_paragraph_dedup(spark):
             spark.createDataFrame(pd.DataFrame(rows))
         ).collect()
     }
+    assert len(out) == len(rows), "no row loss: every input doc has output"
     assert (out[0].text, out[0].n_paras, out[0].n_kept) == ("A\nB\nC", 3, 3)
     assert (out[1].text, out[1].n_paras, out[1].n_kept) == ("D", 2, 1)
     assert (out[2].text, out[2].n_paras, out[2].n_kept) == ("", 2, 0)
     assert (out[3].text, out[3].n_paras, out[3].n_kept) == ("E", 2, 1)
     assert (out[4].text, out[4].n_paras, out[4].n_kept) == ("F\nG", 2, 2)
+    # all-empty docs keep an explicit zero row instead of vanishing
+    assert (out[5].text, out[5].n_paras, out[5].n_kept) == ("", 0, 0)
+    assert (out[6].text, out[6].n_paras, out[6].n_kept) == ("", 0, 0)
 
 
 def test_stratified_sample(spark):
