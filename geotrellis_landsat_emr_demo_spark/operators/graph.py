@@ -82,33 +82,45 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _driver_components(spark, e: DataFrame) -> DataFrame:
-    """Union-find on the driver for SMALL edge sets — the adaptive
-    small-side path (same idea as Spark's broadcast-join threshold: below
-    a size cutoff, local beats a multi-round distributed loop whose cost
-    is all scheduling latency).  Produces bit-identical output to the
-    distributed loop (tested side by side)."""
+    """Vectorized min-label union-find on the driver for SMALL edge sets —
+    the adaptive small-side path (same idea as Spark's broadcast-join
+    threshold: below a size cutoff, local beats a multi-round distributed
+    loop whose cost is all scheduling latency).  Produces bit-identical
+    output to the distributed loop (tested side by side).
+
+    Pure numpy (no per-edge Python loop): hook each edge's larger root to
+    the smaller (``np.minimum.at`` resolves collisions by min), then
+    pointer-jump (``parent = parent[parent]``) to full compression;
+    repeat until every edge's endpoints share a root.  ``parent`` is
+    non-increasing and bounded by the component minimum, so the fixpoint
+    labels every node with its component's min id — the same label the
+    distributed loop produces.  ~2M edges resolve in a few hundred ms."""
+    import numpy as np
+
     pdf = e.toPandas()
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pdf["src"], pdf["dst"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            # union by MIN id so the label matches the distributed loop
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    nodes = sorted({int(v) for col in ("src", "dst") for v in pdf[col]})
-    out = pd.DataFrame(
-        {"node": nodes, "component": [find(n) for n in nodes]},
-        dtype="int64",
-    )
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            pd.DataFrame({"node": [], "component": []}),
+            schema="node long, component long",
+        )
+    src = pdf["src"].to_numpy(dtype="int64")
+    dst = pdf["dst"].to_numpy(dtype="int64")
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    u, v = inv[: len(src)], inv[len(src) :]
+    # nodes is ascending, so index order == id order: min index == min id
+    parent = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        pu, pv = parent[u], parent[v]
+        mask = pu != pv
+        if not mask.any():
+            break
+        np.minimum.at(parent, np.maximum(pu, pv)[mask], np.minimum(pu, pv)[mask])
+        while True:  # pointer jumping: parent[x] <= x keeps this monotone
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+    out = pd.DataFrame({"node": nodes, "component": nodes[parent]})
     return spark.createDataFrame(out, schema="node long, component long")
 
 
@@ -117,7 +129,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
-    driver_threshold: int = 200_000,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Label every node of the (undirected) edge set with its component's
     MINIMUM node id.  Returns (node, component); every node appearing in
@@ -131,10 +143,13 @@ def connected_components(
     covers graphs far beyond any realistic corpus).
 
     ``driver_threshold``: edge count at or below which the closure runs
-    as a driver-local union-find instead of the distributed loop (the
-    broadcast-join-style adaptive cutoff — at toy sizes the loop's cost
-    is pure per-round job latency; 200k edges collect to ~3 MB).  Pass 0
-    to force the distributed path.  Both paths are tested identical."""
+    as a driver-local vectorized union-find instead of the distributed
+    loop (the broadcast-join-style adaptive cutoff — below it the loop's
+    cost is pure per-round job latency; 2M edges collect to ~32 MB and
+    resolve in numpy in a few hundred ms, vs seconds of round latency).
+    At corpus scale (billions of edges) the distributed loop always
+    runs.  Pass 0 to force the distributed path.  Both paths are tested
+    identical."""
     # checkpoint the entry edges ONCE: _sym references them twice (union
     # of both orientations), and the caller's edge relation is typically
     # an expensive LSH-pairs pipeline — without this it is planned and

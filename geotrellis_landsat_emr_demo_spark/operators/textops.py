@@ -641,7 +641,12 @@ def _prefix_index(base, t_pref: float, hot: list | None = None):
     small-hash stopword would land in every prefix.)  Any fixed global
     total order preserves exactness, so the result set is unchanged.
     ``hot`` is applied with ``array_except``/``array_intersect`` against a
-    literal — pure array expressions, no extra shuffle."""
+    literal — pure array expressions, no extra shuffle.
+
+    Each index row also carries the token's 0-based POSITION in the
+    doc's full ordered token array (prefix positions == full-array
+    positions since the prefix is the array's head) — the input to
+    ppjoin's positional filter in :func:`ngram_jaccard_pairs`."""
     ordered = F.col("hs")
     if hot:
         hot_lit = F.array(*[F.lit(int(h)) for h in hot])
@@ -663,7 +668,7 @@ def _prefix_index(base, t_pref: float, hot: list | None = None):
         "doc_id",
         "bucket",
         "n",
-        F.explode(F.slice(ordered, F.lit(1), plen)).alias("h"),
+        F.posexplode(F.slice(ordered, F.lit(1), plen)).alias("pos", "h"),
     )
 
 
@@ -711,6 +716,22 @@ def ngram_jaccard_pairs(
     )
     inv = _prefix_index(base, t_pref, hot=_hot_hashes(base, hot_cutoff, max_hot))
     x, y = inv.alias("x"), inv.alias("y")
+    # ppjoin positional filter: overlap(A, B) >= ceil(t/(1+t)*(|A|+|B|))
+    # is implied by J >= t; for the FIRST common prefix token (positions
+    # i_x, i_y in the global order) no common token precedes it, so
+    # overlap <= 1 + min(|A|-i_x-1, |B|-i_y-1).  A qualifying pair always
+    # survives via that first-common-token row (any-row semantics), so
+    # pruning rows whose upper bound misses the required overlap is
+    # EXACT — it only drops duplicate/false-positive candidate rows
+    # before the distinct and the verify join ever see them.
+    min_overlap = F.ceil(
+        F.lit(t_pref) / F.lit(1.0 + t_pref) * (F.col("x.n") + F.col("y.n"))
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("x.n") - F.col("x.pos") - F.lit(1),
+        F.col("y.n") - F.col("y.pos") - F.lit(1),
+    )
     cand = (
         x.join(
             y,
@@ -718,7 +739,8 @@ def ngram_jaccard_pairs(
             & (F.col("x.h") == F.col("y.h"))
             & (F.col("x.doc_id") < F.col("y.doc_id"))
             & (F.col("y.n") >= F.lit(t_pref) * F.col("x.n") - F.lit(1e-9))
-            & (F.col("x.n") >= F.lit(t_pref) * F.col("y.n") - F.lit(1e-9)),
+            & (F.col("x.n") >= F.lit(t_pref) * F.col("y.n") - F.lit(1e-9))
+            & (ubound >= min_overlap),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
