@@ -211,6 +211,85 @@ def rect_intersects_multipolygon(xmin, ymin, xmax, ymax, mp):
     return False
 
 
+def rects_intersect_multipolygon(xmin, ymin, xmax, ymax, mp, chunk=8192):
+    """Batch :func:`rect_intersects_multipolygon`: bool (n,) for n rects
+    against ONE multipolygon, fully vectorized (no per-rect Python).
+
+    Same three-stage test as the scalar version — polygon vertex in rect,
+    rect corner in polygon, edge crossings — each stage applied only to
+    rects the cheaper stages haven't already decided, all as (rects x
+    vertices/edges) numpy broadcasts.  ``chunk`` bounds the broadcast
+    working set (chunk * 4 segments x ring edges booleans) so a 10^6-rect
+    refine stays in cache-friendly blocks."""
+    xmin = np.atleast_1d(np.asarray(xmin, dtype="f8"))
+    ymin = np.atleast_1d(np.asarray(ymin, dtype="f8"))
+    xmax = np.atleast_1d(np.asarray(xmax, dtype="f8"))
+    ymax = np.atleast_1d(np.asarray(ymax, dtype="f8"))
+    out = np.zeros(xmin.size, dtype=bool)
+    ex_min, ey_min, ex_max, ey_max = envelope(mp)
+    alive = ~(
+        (xmax < ex_min) | (xmin > ex_max) | (ymax < ey_min) | (ymin > ey_max)
+    )
+    idx = np.nonzero(alive)[0]
+    for s in range(0, idx.size, chunk):
+        sel = idx[s : s + chunk]
+        out[sel] = _rects_chunk(xmin[sel], ymin[sel], xmax[sel], ymax[sel], mp)
+    return out
+
+
+def _rects_chunk(xmin, ymin, xmax, ymax, mp):
+    n = xmin.size
+    hit = np.zeros(n, dtype=bool)
+    # 1) any polygon vertex inside the rect
+    for poly in mp:
+        for ring in poly:
+            vx, vy = ring[:, 0][None, :], ring[:, 1][None, :]
+            inside = (
+                (vx >= xmin[:, None])
+                & (vx <= xmax[:, None])
+                & (vy >= ymin[:, None])
+                & (vy <= ymax[:, None])
+            )
+            hit |= inside.any(axis=1)
+    # 2) any rect corner inside the polygon (undecided rects only)
+    rem = np.nonzero(~hit)[0]
+    if rem.size:
+        cx = np.stack(
+            [xmin[rem], xmax[rem], xmax[rem], xmin[rem]], axis=1
+        ).ravel()
+        cy = np.stack(
+            [ymin[rem], ymin[rem], ymax[rem], ymax[rem]], axis=1
+        ).ravel()
+        inside = points_in_multipolygon(cx, cy, mp).reshape(-1, 4).any(axis=1)
+        hit[rem[inside]] = True
+    # 3) edge crossings (undecided rects only)
+    rem = np.nonzero(~hit)[0]
+    if rem.size:
+        x0, y0, x1, y1 = xmin[rem], ymin[rem], xmax[rem], ymax[rem]
+        corners = np.stack(
+            [
+                np.stack([x0, y0], axis=1),
+                np.stack([x1, y0], axis=1),
+                np.stack([x1, y1], axis=1),
+                np.stack([x0, y1], axis=1),
+                np.stack([x0, y0], axis=1),
+            ],
+            axis=1,
+        )  # (r, 5, 2)
+        rp1 = corners[:, :-1, :].reshape(-1, 2)  # (4r, 2)
+        rp2 = corners[:, 1:, :].reshape(-1, 2)
+        cross = np.zeros(rem.size, dtype=bool)
+        for poly in mp:
+            for ring in poly:
+                r = ring
+                if not (r[0] == r[-1]).all():
+                    r = np.vstack([r, r[:1]])
+                seg = _segments_intersect(rp1, rp2, r[:-1], r[1:])
+                cross |= seg.any(axis=1).reshape(-1, 4).any(axis=1)
+        hit[rem[cross]] = True
+    return hit
+
+
 def parse_extent(s):
     """'xmin,ymin,xmax,ymax' -> tuple of floats (Extent.fromString,
     TemporalMultibandLandsatInput.scala:43)."""

@@ -142,3 +142,31 @@ def extent_to_mercator(extent, crs: str, densify: int = 16):
     )
     mx, my = crs_to_mercator(bx, by, crs)
     return float(mx.min()), float(my.min()), float(mx.max()), float(my.max())
+
+
+def extents_to_mercator(xmin, ymin, xmax, ymax, crs: str, densify: int = 16):
+    """Vectorized :func:`extent_to_mercator` over n same-CRS extents:
+    four (n,) arrays in, four (n,) arrays out.  The densified boundary of
+    every extent is built as one (n, 4*(densify+1)) block and projected
+    in a single vectorized transform — no per-extent Python."""
+    xmin = np.atleast_1d(np.asarray(xmin, dtype="f8"))
+    ymin = np.atleast_1d(np.asarray(ymin, dtype="f8"))
+    xmax = np.atleast_1d(np.asarray(xmax, dtype="f8"))
+    ymax = np.atleast_1d(np.asarray(ymax, dtype="f8"))
+    if str(crs).upper() in ("EPSG:3857", "3857"):
+        return xmin, ymin, xmax, ymax
+    t = np.linspace(0.0, 1.0, densify + 1)  # (d,)
+    d = t.size
+    w, h = (xmax - xmin)[:, None], (ymax - ymin)[:, None]
+    rep = lambda v: np.repeat(v[:, None], d, axis=1)  # noqa: E731
+    bx = np.concatenate(
+        [xmin[:, None] + w * t, rep(xmax), xmax[:, None] - w * t, rep(xmin)],
+        axis=1,
+    )
+    by = np.concatenate(
+        [rep(ymin), ymin[:, None] + h * t, rep(ymax), ymax[:, None] - h * t],
+        axis=1,
+    )
+    mx, my = crs_to_mercator(bx.ravel(), by.ravel(), crs)
+    mx, my = mx.reshape(bx.shape), my.reshape(by.shape)
+    return mx.min(axis=1), my.min(axis=1), mx.max(axis=1), my.max(axis=1)

@@ -54,15 +54,23 @@ def with_mercator_envelope(df: DataFrame) -> DataFrame:
 
     def fn(batches):
         for pdf in batches:
-            for i in pdf.index[pdf["crs"].fillna("EPSG:3857") != "EPSG:3857"]:
-                env = proj.extent_to_mercator(
-                    (
-                        pdf.at[i, "xmin"], pdf.at[i, "ymin"],
-                        pdf.at[i, "xmax"], pdf.at[i, "ymax"],
-                    ),
-                    pdf.at[i, "crs"],
+            # one vectorized batch projection per distinct source CRS (a
+            # handful of UTM zones in practice) — no per-row Python
+            crs_s = pdf["crs"].fillna("EPSG:3857")
+            for crs in crs_s.unique():
+                if str(crs).upper() in ("EPSG:3857", "3857"):
+                    continue
+                m = (crs_s == crs).to_numpy()
+                env = proj.extents_to_mercator(
+                    pdf.loc[m, "xmin"].to_numpy(),
+                    pdf.loc[m, "ymin"].to_numpy(),
+                    pdf.loc[m, "xmax"].to_numpy(),
+                    pdf.loc[m, "ymax"].to_numpy(),
+                    crs,
                 )
-                pdf.loc[i, ["xmin", "ymin", "xmax", "ymax"]] = env
+                pdf.loc[m, ["xmin", "ymin", "xmax", "ymax"]] = np.stack(
+                    env, axis=1
+                )
             yield pdf
 
     return df.mapInPandas(fn, schema=df.schema).select(*cols)
@@ -149,14 +157,20 @@ def pip_join(
             k: [[np.asarray(r) for r in poly] for poly in v] for k, v in geos.items()
         }
         for pdf in batches:
-            keep = [
-                bool(
-                    geom.rect_intersects_multipolygon(
-                        row.xmin, row.ymin, row.xmax, row.ymax, local[row.aoi_id]
-                    )
+            # vectorized rect-batch x polygon test per AOI group — the
+            # whole Arrow batch refines in numpy broadcasts, no per-row
+            # Python (same machinery as grid_mask)
+            pdf = pdf.reset_index(drop=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for aid, g in pdf.groupby("aoi_id", sort=False):
+                pos = g.index.to_numpy()
+                keep[pos] = geom.rects_intersect_multipolygon(
+                    g["xmin"].to_numpy(),
+                    g["ymin"].to_numpy(),
+                    g["xmax"].to_numpy(),
+                    g["ymax"].to_numpy(),
+                    local[aid],
                 )
-                for row in pdf.itertuples(index=False)
-            ]
             yield pdf.loc[keep, ["aoi_id", "image_id"]]
 
     return cand.mapInPandas(refine, schema="aoi_id string, image_id string")

@@ -128,6 +128,67 @@ def test_rect_intersects_cases():
     assert not geom.rect_intersects_multipolygon(20, 20, 30, 30, tri)
 
 
+def test_rects_batch_matches_scalar():
+    """Vectorized rects_intersect_multipolygon == scalar loop on random
+    rects against concave / holed / multi polygons (incl. chunking)."""
+    import numpy as np
+
+    shapes = [
+        geom.parse_geojson(
+            '{"type":"Polygon","coordinates":[[[0,0],[10,0],[5,10],[0,0]]]}'
+        ),
+        geom.parse_geojson(
+            '{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[3,4],[3,1],[1,1],[1,4],[0,4],[0,0]]]}'
+        ),
+        geom.parse_geojson(
+            '{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]],'
+            "[[4,4],[6,4],[6,6],[4,6],[4,4]]]}"
+        ),
+        geom.parse_geojson(
+            '{"type":"MultiPolygon","coordinates":[[[[0,0],[2,0],[2,2],[0,2],[0,0]]],'
+            "[[[5,5],[7,5],[7,7],[5,7],[5,5]]]]}"
+        ),
+    ]
+    rng = np.random.default_rng(11)
+    n = 500
+    x0 = rng.uniform(-6, 12, n)
+    y0 = rng.uniform(-6, 12, n)
+    w = rng.uniform(0, 6, n)
+    h = rng.uniform(0, 6, n)
+    x1, y1 = x0 + w, y0 + h
+    for mp in shapes:
+        want = np.array(
+            [
+                geom.rect_intersects_multipolygon(x0[i], y0[i], x1[i], y1[i], mp)
+                for i in range(n)
+            ]
+        )
+        got = geom.rects_intersect_multipolygon(x0, y0, x1, y1, mp, chunk=64)
+        assert (got == want).all()
+    assert want.any() and not want.all()  # non-vacuous over the sweep
+
+
+def test_extents_to_mercator_matches_scalar():
+    import numpy as np
+
+    from geotrellis_landsat_emr_demo_spark.core import proj
+
+    rng = np.random.default_rng(5)
+    n = 40
+    e0 = rng.uniform(300_000, 600_000, n)
+    n0 = rng.uniform(3_500_000, 4_500_000, n)
+    xmin, ymin = e0, n0
+    xmax, ymax = e0 + rng.uniform(1e3, 2e5, n), n0 + rng.uniform(1e3, 2e5, n)
+    for crs in ("EPSG:32654", "EPSG:32618"):
+        bx0, by0, bx1, by1 = proj.extents_to_mercator(xmin, ymin, xmax, ymax, crs)
+        for i in range(n):
+            want = proj.extent_to_mercator(
+                (xmin[i], ymin[i], xmax[i], ymax[i]), crs
+            )
+            got = (bx0[i], by0[i], bx1[i], by1[i])
+            assert np.allclose(got, want, rtol=0, atol=1e-9), (i, got, want)
+
+
 # ----------------------------------------------------------------- kernels
 
 
