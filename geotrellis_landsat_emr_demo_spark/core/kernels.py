@@ -75,11 +75,34 @@ def encode_payload(arr: np.ndarray, fmt: str = "npy-u16-z") -> bytes:
 
 
 def decode_payload(data: bytes) -> np.ndarray:
-    """bytes -> (bands, h, w) uint16.  Inverse of :func:`encode_payload`.
+    """bytes -> (bands, h, w) uint16.  Inverse of :func:`encode_payload`,
+    plus container dispatch on magic bytes: GeoTIFF (``II*``/``MM*``) and
+    baseline JPEG (``FFD8``) payloads decode through the built-in
+    pure-numpy codecs, so scenes can arrive in the reference's actual
+    container (GeoTIFF — ingest/.../LandsatInput.scala:23-27) with no
+    ingest-side changes.
 
     Plays the role of the reference's raster fetch+decode
     (ingest/.../LandsatInput.scala:23-27).
     """
+    if data[:2] in (b"II", b"MM"):  # TIFF / GeoTIFF container
+        from . import tiff
+
+        arr = tiff.decode(data)
+        if arr.ndim == 3:
+            arr = arr.transpose(2, 0, 1)
+        else:
+            arr = arr[None, :, :]
+        return np.ascontiguousarray(arr).astype(np.uint16, copy=False)
+    if data[:2] == b"\xff\xd8":  # baseline JPEG container
+        from . import jpeg
+
+        arr = jpeg.decode(data)
+        if arr.ndim == 3:
+            arr = arr.transpose(2, 0, 1)
+        else:
+            arr = arr[None, :, :]
+        return np.ascontiguousarray(arr).astype(np.uint16, copy=False)
     magic, _ver, code, nb, h, w = _HDR.unpack_from(data)
     assert magic == _MAGIC, "bad payload magic"
     fmt = _FMT_INV[code]

@@ -72,6 +72,22 @@ def _jpeg_decode(payload: bytes) -> "np.ndarray":
 register_decoder("jpeg", _jpeg_decode)
 
 
+def _tiff_decode(payload: bytes) -> "np.ndarray":
+    """Built-in baseline TIFF/GeoTIFF decoder (core.tiff — pure numpy):
+    grayscale -> (h, w); RGB -> (3, h, w) band layout.  Covers the
+    reference's actual payload container (LandsatInput.scala:24 fetches
+    GeoTIFF scenes); LZW/JPEG-in-TIFF still route through the
+    register_decoder seam."""
+    from ..core import tiff
+
+    arr = tiff.decode(payload)
+    return arr.transpose(2, 0, 1) if arr.ndim == 3 else arr
+
+
+register_decoder("tiff", _tiff_decode)
+register_decoder("geotiff", _tiff_decode)
+
+
 def _decode(payload: bytes, fmt: str, extra: dict | None = None) -> np.ndarray:
     if fmt in SUPPORTED_FMTS:
         return kernels.decode_payload(payload)
