@@ -9,10 +9,14 @@ interchange format with a REAL bitstream implementation:
 - :func:`encode_gray`: 8-bit grayscale baseline sequential JFIF
   (quality-scaled Annex K luminance table, standard Annex K Huffman
   tables, correct byte stuffing / bit padding).
-- :func:`decode`: baseline sequential (SOF0/SOF1), 8-bit, grayscale or
-  3-component 4:4:4 (JFIF YCbCr -> RGB), restart-marker aware, reading
-  ALL tables from the file.  Progressive (SOF2) and chroma subsampling
-  raise ``NotImplementedError`` — the honest remainder of the seam.
+- :func:`decode`: baseline sequential (SOF0/SOF1) AND progressive
+  (SOF2, spectral selection + successive approximation, per T.81 G.2 /
+  the libjpeg scan algorithm), 8-bit, grayscale or 3-component JFIF
+  YCbCr with ARBITRARY integer sampling factors (4:4:4, 4:2:0, 4:2:2),
+  restart-marker aware, reading ALL tables from the file.  All scans
+  decode into a coefficient store; dequantization + IDCT then run ONCE,
+  vectorized over every block.  Hierarchical / arithmetic-coded /
+  12-bit streams still raise ``NotImplementedError``.
 
 The hot paths (DCT/IDCT, quantization) are vectorized numpy over all
 blocks at once; only the entropy coding loop is per-symbol Python,
@@ -257,56 +261,311 @@ def _write_block(bw, blk, prev_dc, dc_codes, ac_codes) -> int:
     return int(blk[0])
 
 
-def _encode(planes: list, h: int, w: int, quality: int) -> bytes:
-    """Shared baseline encoder: 1 plane (grayscale) or 3 (YCbCr 4:4:4)."""
+# Flat AC Huffman table for progressive scans: every symbol 0x00..0xFF is
+# representable (EOBn run categories, ZRL, any run/size), 255 symbols at 9
+# bits + one at 10 — valid canonical table, carried in the file's DHT like
+# any other, so the decoder needs nothing special.  Compression is not the
+# point of the progressive fixtures; correctness of the scan machinery is.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(256))
+
+
+def _box_down(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Box-mean downsample by (fx, fy), edge-padded to a multiple first."""
+    h, w = p.shape
+    H, W = -(-h // fy) * fy, -(-w // fx) * fx
+    P = np.pad(p, ((0, H - h), (0, W - w)), mode="edge")
+    return P.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
+
+
+def _enc_ac_first(bw, blocks, ss, se, al, ac_codes):
+    """Progressive AC first scan (Ah=0) for one component, raster block
+    order, with EOB-run accumulation (T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            cat = eobrun.bit_length() - 1
+            code, length = ac_codes[cat << 4]
+            bw.write(code, length)
+            if cat:
+                bw.write(eobrun - (1 << cat), cat)
+            eobrun = 0
+
+    for zz in blocks:
+        t = [int(v) for v in zz[ss : se + 1]]
+        tv = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in t]
+        nz = [i for i, v in enumerate(tv) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        last = nz[-1]
+        for i, v in enumerate(tv):
+            if i > last:
+                eobrun += 1
+                break
+            if v == 0:
+                r += 1
+                continue
+            while r >= 16:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                r -= 16
+            size = abs(v).bit_length()
+            code, length = ac_codes[(r << 4) | size]
+            bw.write(code, length)
+            amp = v if v >= 0 else v + (1 << size) - 1
+            bw.write(amp, size)
+            r = 0
+        else:
+            pass
+    flush_eob()
+
+
+def _enc_ac_refine(bw, blocks, ss, se, al, ac_codes):
+    """Progressive AC refinement scan (Ah=Al+1) for one component.
+
+    Positional simulation of the decoder's walk: each symbol segment
+    (ZRL or run|1) is followed by EXACTLY the correction bits of the
+    history-nonzero coefficients the decoder passes while consuming that
+    segment; blocks/tails with no newly-significant coefficient join an
+    EOB run whose buffered correction bits (tail of the starting block,
+    then full bands of subsequent run members, in order) follow the EOBn
+    symbol (T.81 G.1.2.3 / libjpeg jcphuff semantics)."""
+    eobrun = 0
+    bits_pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, bits_pending
+        if eobrun:
+            cat = eobrun.bit_length() - 1
+            code, length = ac_codes[cat << 4]
+            bw.write(code, length)
+            if cat:
+                bw.write(eobrun - (1 << cat), cat)
+            eobrun = 0
+            for b in bits_pending:
+                bw.write(b, 1)
+            bits_pending = []
+
+    for zz in blocks:
+        t = [abs(int(v)) >> al for v in zz[ss : se + 1]]
+        sign = [1 if int(v) >= 0 else 0 for v in zz[ss : se + 1]]
+        n = len(t)
+        new_idx = [i for i in range(n) if t[i] == 1]
+        i = 0
+        for q in new_idx:
+            r = sum(1 for j in range(i, q) if t[j] == 0)
+            while r > 15:
+                # ZRL consumes 16 zero-history positions; its correction
+                # bits are the history-nonzero coefficients interleaved
+                # within that window (decoder corrects them in-walk)
+                flush_eob()
+                cnt, j, corr = 0, i, []
+                while True:
+                    if t[j] == 0:
+                        cnt += 1
+                        if cnt == 16:
+                            break
+                    elif t[j] > 1:
+                        corr.append(t[j] & 1)
+                    j += 1
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                for b in corr:
+                    bw.write(b, 1)
+                i = j + 1
+                r -= 16
+            flush_eob()
+            code, length = ac_codes[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(sign[q], 1)
+            for j in range(i, q):
+                if t[j] > 1:
+                    bw.write(t[j] & 1, 1)
+            i = q + 1
+        if i < n:  # tail (or sig-free block) joins the EOB run
+            eobrun += 1
+            bits_pending += [t[j] & 1 for j in range(i, n) if t[j] > 1]
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode(
+    planes: list,
+    h: int,
+    w: int,
+    quality: int,
+    samp: list | None = None,
+    progressive: bool = False,
+) -> bytes:
+    """Shared encoder: 1 plane (grayscale) or 3 (YCbCr), arbitrary
+    integer sampling factors, baseline sequential or progressive
+    (spectral selection + successive approximation, libjpeg-style
+    script)."""
+    nc = len(planes)
+    samp = samp or [(1, 1)] * nc
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     qtbl = _scaled_qtbl(quality)
-    zzs = [_plane_zz(p, qtbl) for p in planes]
+    comps = []
+    for p, (hs, vs) in zip(planes, samp):
+        if hs != hmax or vs != vmax:
+            p = _box_down(p, hmax // hs, vmax // vs)
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        P = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        zz = _plane_zz(P, qtbl).reshape(mcuy * vs, mcux * hs, 64)
+        # non-interleaved (progressive AC) scans cover the component's OWN
+        # block grid, not the MCU-padded one (T.81 A.2.2)
+        cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+        comps.append(
+            dict(zz=zz, hs=hs, vs=vs, sbx=-(-cw // 8), sby=-(-ch // 8))
+        )
+
     dc_codes = _build_codes(DC_BITS, DC_VALS)
-    ac_codes = _build_codes(AC_BITS, AC_VALS)
-    bw = _BitWriter()
-    prev_dc = [0] * len(planes)
-    for mcu in range(zzs[0].shape[0]):  # 1x1 sampling: MCU = one block each
-        for ci, zz in enumerate(zzs):
-            prev_dc[ci] = _write_block(bw, zz[mcu], prev_dc[ci], dc_codes, ac_codes)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
-    nc = len(planes)
+    def sos_seg(sel, ss, se, ah, al):
+        return seg(
+            0xDA,
+            bytes([len(sel)])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in sel)
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
     out = b"\xff\xd8"  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
     out += seg(0xDB, b"\x00" + bytes(qtbl.astype(np.uint8).ravel()[ZIGZAG]))
     out += seg(
-        0xC0,
+        0xC2 if progressive else 0xC0,
         struct.pack(">BHHB", 8, h, w, nc)
-        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc)),
+        + b"".join(
+            bytes([i + 1, (c["hs"] << 4) | c["vs"], 0])
+            for i, c in enumerate(comps)
+        ),
     )
     out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    out += seg(
-        0xDA,
-        bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc)) + b"\x00\x3f\x00",
-    )
+
+    def mcu_blocks(write_block):
+        """Walk MCU-interleaved block order, calling write_block(ci, zz)."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, c in enumerate(comps):
+                    for v in range(c["vs"]):
+                        for hh in range(c["hs"]):
+                            write_block(
+                                ci, c["zz"][my * c["vs"] + v, mx * c["hs"] + hh]
+                            )
+
+    if not progressive:
+        ac_codes = _build_codes(AC_BITS, AC_VALS)
+        out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        bw = _BitWriter()
+        prev = [0] * nc
+
+        def wblk(ci, zz):
+            prev[ci] = _write_block(bw, zz, prev[ci], dc_codes, ac_codes)
+
+        mcu_blocks(wblk)
+        out += sos_seg(list(range(nc)), 0, 63, 0, 0)
+        out += bw.flush()
+        out += b"\xff\xd9"
+        return out
+
+    # ---- progressive: the libjpeg standard script shape ----
+    ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+    out += seg(0xC4, b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS))
+
+    def comp_blocks(ci):
+        """Raster order over the component's OWN (unpadded-scan) grid."""
+        c = comps[ci]
+        return c["zz"][: c["sby"], : c["sbx"]].reshape(-1, 64)
+
+    # 1) DC first, Al=1, interleaved
+    bw = _BitWriter()
+    prev = [0] * nc
+
+    def wdc(ci, zz):
+        val = int(zz[0]) >> 1  # point transform (arithmetic shift)
+        diff = val - prev[ci]
+        prev[ci] = val
+        size = abs(diff).bit_length()
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            bw.write(amp, size)
+
+    mcu_blocks(wdc)
+    out += sos_seg(list(range(nc)), 0, 0, 0, 1)
     out += bw.flush()
-    out += b"\xff\xd9"  # EOI
+    # 2) AC first scans per component: band 1-5 at Al=2, band 6-63 at Al=2
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nc):
+            bw = _BitWriter()
+            _enc_ac_first(bw, comp_blocks(ci), ss, se, 2, ac_codes)
+            out += sos_seg([ci], ss, se, 0, 2)
+            out += bw.flush()
+    # 3) AC refine Ah=2 -> Al=1 per component
+    for ci in range(nc):
+        bw = _BitWriter()
+        _enc_ac_refine(bw, comp_blocks(ci), 1, 63, 1, ac_codes)
+        out += sos_seg([ci], 1, 63, 2, 1)
+        out += bw.flush()
+    # 4) DC refine Ah=1 -> Al=0, interleaved
+    bw = _BitWriter()
+
+    def wdcr(ci, zz):
+        bw.write(int(zz[0]) & 1, 1)
+
+    mcu_blocks(wdcr)
+    out += sos_seg(list(range(nc)), 0, 0, 1, 0)
+    out += bw.flush()
+    # 5) AC refine Ah=1 -> Al=0 per component
+    for ci in range(nc):
+        bw = _BitWriter()
+        _enc_ac_refine(bw, comp_blocks(ci), 1, 63, 0, ac_codes)
+        out += sos_seg([ci], 1, 63, 1, 0)
+        out += bw.flush()
+    out += b"\xff\xd9"
     return out
 
 
-def _pad8(plane: np.ndarray) -> np.ndarray:
-    h, w = plane.shape
-    return np.pad(plane, ((0, -h % 8), (0, -w % 8)), mode="edge")
-
-
-def encode_gray(img: np.ndarray, quality: int = 75) -> bytes:
-    """8-bit grayscale (h, w) -> baseline JFIF bytes."""
+def encode_gray(
+    img: np.ndarray, quality: int = 75, progressive: bool = False
+) -> bytes:
+    """8-bit grayscale (h, w) -> JFIF bytes (baseline or progressive)."""
     img = np.asarray(img)
     assert img.ndim == 2 and img.dtype == np.uint8, "need (h, w) uint8"
     h, w = img.shape
-    return _encode([_pad8(img.astype(np.float64))], h, w, quality)
+    return _encode(
+        [img.astype(np.float64)], h, w, quality, progressive=progressive
+    )
 
 
-def encode_rgb(img: np.ndarray, quality: int = 75) -> bytes:
-    """8-bit RGB (h, w, 3) -> baseline JFIF bytes (YCbCr 4:4:4)."""
+_SUBSAMP = {"444": [(1, 1)] * 3, "422": [(2, 1), (1, 1), (1, 1)],
+            "420": [(2, 2), (1, 1), (1, 1)]}
+
+
+def encode_rgb(
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    progressive: bool = False,
+) -> bytes:
+    """8-bit RGB (h, w, 3) -> JFIF bytes (YCbCr; 4:4:4 / 4:2:2 / 4:2:0
+    chroma subsampling; baseline or progressive)."""
     img = np.asarray(img)
     assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
     h, w = img.shape[:2]
@@ -314,18 +573,21 @@ def encode_rgb(img: np.ndarray, quality: int = 75) -> bytes:
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    return _encode([_pad8(p) for p in (y, cb, cr)], h, w, quality)
+    return _encode(
+        [y, cb, cr], h, w, quality,
+        samp=_SUBSAMP[subsampling], progressive=progressive,
+    )
 
 
 # -------------------------------------------------------------- decoder --
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
+    """JFIF bytes -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
 
-    Reads every table from the file.  Raises ``NotImplementedError`` for
-    progressive scans, chroma subsampling, 12-bit precision, or
-    arithmetic coding."""
+    Baseline sequential and progressive, any integer sampling factors;
+    reads every table from the file.  Raises ``NotImplementedError`` for
+    hierarchical/lossless/arithmetic variants and 12-bit precision."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -333,6 +595,7 @@ def decode(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart_interval = 0
+    coefs = None  # per-component (nby, nbx, 64) zigzag coefficient store
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -374,7 +637,7 @@ def decode(data: bytes) -> np.ndarray:
                 codes = _build_codes(bits, vals)
                 huff[(tc, th)] = {(ln, c): s for s, (c, ln) in codes.items()}
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -382,70 +645,242 @@ def decode(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append(dict(cid=cid, hs=samp >> 4, vs=samp & 0x0F, tq=tq))
-            if any(c["hs"] != comps[0]["hs"] or c["vs"] != comps[0]["vs"] for c in comps):
-                raise NotImplementedError("chroma subsampling not supported")
-            sof = dict(h=h, w=w, comps=comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+            sof = dict(h=h, w=w, comps=comps, progressive=marker == 0xC2)
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            if any(hmax % c["hs"] or vmax % c["vs"] for c in comps):
+                raise NotImplementedError("non-integer sampling ratios")
+            sof["hmax"], sof["vmax"] = hmax, vmax
+            sof["mcux"] = -(-w // (8 * hmax))
+            sof["mcuy"] = -(-h // (8 * vmax))
+            for c in comps:
+                c["w"] = -(-w * c["hs"] // hmax)   # ceil(w*hs/hmax)
+                c["h"] = -(-h * c["vs"] // vmax)
+                # storage is MCU-padded; non-interleaved scans use the
+                # component's own (unpadded) block grid
+                c["nbx"] = sof["mcux"] * c["hs"]
+                c["nby"] = sof["mcuy"] * c["vs"]
+                c["sbx"] = -(-c["w"] // 8)
+                c["sby"] = -(-c["h"] // 8)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"SOF{marker - 0xC0} not supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body)
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
-            ns = body[0]
-            sel = {}
-            for i in range(ns):
-                cid, tda = body[1 + 2 * i], body[2 + 2 * i]
-                sel[cid] = (tda >> 4, tda & 0x0F)
             if sof is None:
                 raise ValueError("SOS before SOF")
-            return _decode_scan(data, pos, sof, sel, qtbls, huff, restart_interval)
+            if coefs is None:
+                coefs = [
+                    np.zeros((c["nby"], c["nbx"], 64), dtype=np.int32)
+                    for c in sof["comps"]
+                ]
+            ns = body[0]
+            sel = []
+            for i in range(ns):
+                cid, tda = body[1 + 2 * i], body[2 + 2 * i]
+                ci = next(
+                    j for j, c in enumerate(sof["comps"]) if c["cid"] == cid
+                )
+                sel.append((ci, tda >> 4, tda & 0x0F))
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            scan = dict(sel=sel, ss=ss, se=se, ah=a >> 4, al=a & 0x0F)
+            pos = _scan_into(
+                data, pos, sof, scan, huff, restart_interval, coefs
+            )
         # APPn / COM / others: skipped
-    raise ValueError("no SOS marker found")
+    if coefs is None:
+        raise ValueError("no SOS marker found")
+    return _reconstruct(sof, coefs, qtbls)
 
 
-def _decode_scan(data, pos, sof, sel, qtbls, huff, restart_interval):
-    h, w, comps = sof["h"], sof["w"], sof["comps"]
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    nblocks = bh * bw_
-    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in comps]
+def _decode_seq_block(br, huff, dc_tbl, ac_tbl, prev_dc, ci, zz):
+    """Sequential (baseline) block: DC diff + AC run-length into zz."""
+    size = _decode_symbol(br, huff[(0, dc_tbl)])
+    prev_dc[ci] += _extend(br.read_bits(size), size)
+    zz[0] = prev_dc[ci]
+    k = 1
+    while k < 64:
+        sym = _decode_symbol(br, huff[(1, ac_tbl)])
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0x0F
+        if k > 63:
+            break
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+
+
+def _decode_ac_first(br, table, zz, ss, se, al, state):
+    """Progressive AC first scan (Ah=0): T.81 G.2.2 with EOB runs."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _decode_symbol(br, table)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            break
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(br, table, zz, ss, se, al, state):
+    """Progressive AC refinement scan (Ah=Al+1): the libjpeg
+    decode_mcu_AC_refine algorithm — newly-significant coefficients get a
+    sign bit, already-nonzero ones a correction bit, including during EOB
+    runs."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        if zz[k] != 0 and br.read_bit():
+            if (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = _decode_symbol(br, table)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # run count INCLUDES this block: the tail below still
+                    # emits correction bits for k..se before decrementing
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-HISTORY coefficients
+            else:
+                # s is 1 by construction: magnitude becomes 1 at this Al
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            zz[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _scan_into(data, pos, sof, scan, huff, restart_interval, coefs):
+    """Decode one scan's entropy data into the coefficient store; returns
+    the byte position of the next marker."""
+    comps = sof["comps"]
+    sel, ss, se = scan["sel"], scan["ss"], scan["se"]
+    ah, al = scan["ah"], scan["al"]
+    progressive = sof["progressive"]
+    if progressive and ss > 0 and len(sel) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
     br = _BitReader(data, pos)
     prev_dc = [0] * len(comps)
-    for mcu in range(nblocks):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            # the encoder byte-aligned (1-padded) before emitting RSTn; the
-            # reader's _fill already stopped there, so discard pad bits,
-            # consume the marker, and reset the DC predictors (F.2.1.3.1)
+    state = {"eobrun": 0}
+    interleaved = len(sel) > 1
+
+    if interleaved:
+        nunits = sof["mcux"] * sof["mcuy"]
+    else:
+        ci = sel[0][0]
+        c = comps[ci]
+        nunits = c["sbx"] * c["sby"]
+
+    for unit in range(nunits):
+        if restart_interval and unit and unit % restart_interval == 0:
             if br.at_restart():
                 br.skip_restart()
                 prev_dc = [0] * len(comps)
-        by, bx = divmod(mcu, bw_)
-        for ci, comp in enumerate(comps):
-            dc_tbl, ac_tbl = sel[comp["cid"]]
-            qt = qtbls[comp["tq"]]
-            zz = np.zeros(64, dtype=np.int64)
-            size = _decode_symbol(br, huff[(0, dc_tbl)])
-            prev_dc[ci] += _extend(br.read_bits(size), size)
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                sym = _decode_symbol(br, huff[(1, ac_tbl)])
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0x0F
-                if k > 63:
-                    break
-                zz[k] = _extend(br.read_bits(size), size)
-                k += 1
-            coef = np.empty(64)
-            coef[ZIGZAG] = zz  # zigzag -> natural order
-            block = _C.T @ (coef.reshape(8, 8) * qt) @ _C + 128.0
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    planes = [np.clip(np.round(p[:h, :w]), 0, 255).astype(np.uint8) for p in planes]
+                state["eobrun"] = 0
+        if interleaved:
+            my, mx = divmod(unit, sof["mcux"])
+            for ci, dc_tbl, ac_tbl in sel:
+                c = comps[ci]
+                for v in range(c["vs"]):
+                    for hh in range(c["hs"]):
+                        zz = coefs[ci][my * c["vs"] + v, mx * c["hs"] + hh]
+                        if not progressive:
+                            _decode_seq_block(
+                                br, huff, dc_tbl, ac_tbl, prev_dc, ci, zz
+                            )
+                        elif ss == 0 and ah == 0:  # DC first
+                            size = _decode_symbol(br, huff[(0, dc_tbl)])
+                            prev_dc[ci] += _extend(br.read_bits(size), size)
+                            zz[0] = prev_dc[ci] << al
+                        elif ss == 0:  # DC refine
+                            if br.read_bit():
+                                zz[0] = int(zz[0]) | (1 << al)
+                        else:  # pragma: no cover — rejected above
+                            raise ValueError("interleaved AC scan")
+        else:
+            ci, dc_tbl, ac_tbl = sel[0]
+            c = comps[ci]
+            by, bx = divmod(unit, c["sbx"])
+            zz = coefs[ci][by, bx]
+            if not progressive:
+                _decode_seq_block(br, huff, dc_tbl, ac_tbl, prev_dc, ci, zz)
+            elif ss == 0 and ah == 0:
+                size = _decode_symbol(br, huff[(0, dc_tbl)])
+                prev_dc[ci] += _extend(br.read_bits(size), size)
+                zz[0] = prev_dc[ci] << al
+            elif ss == 0:
+                if br.read_bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+            elif ah == 0:
+                _decode_ac_first(br, huff[(1, ac_tbl)], zz, ss, se, al, state)
+            else:
+                _decode_ac_refine(br, huff[(1, ac_tbl)], zz, ss, se, al, state)
+    # consume any trailing restart marker so pos lands on the next segment
+    if br.at_restart():
+        br.skip_restart()
+    return br.pos
+
+
+def _reconstruct(sof, coefs, qtbls):
+    """Dequantize + IDCT every component in ONE vectorized pass, upsample
+    to full resolution, color-convert."""
+    h, w, comps = sof["h"], sof["w"], sof["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qtbls[c["tq"]].ravel()
+        zz = coefs[ci].reshape(-1, 64).astype(np.float64)
+        nat = np.empty_like(zz)
+        nat[:, ZIGZAG] = zz  # zigzag -> natural order, all blocks at once
+        blocks = (nat * qt[None, :]).reshape(-1, 8, 8)
+        # IDCT-II for every block: X = C.T @ coef @ C
+        pix = np.einsum("xu,nuv,vy->nxy", _C.T, blocks, _C) + 128.0
+        nby, nbx = c["nby"], c["nbx"]
+        plane = (
+            pix.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )[: c["h"], : c["w"]]
+        vfac, hfac = sof["vmax"] // c["vs"], sof["hmax"] // c["hs"]
+        if vfac > 1 or hfac > 1:
+            plane = np.repeat(np.repeat(plane, vfac, axis=0), hfac, axis=1)
+        planes.append(plane[:h, :w])
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in planes]
     if len(planes) == 1:
         return planes[0]
     if len(planes) == 3:  # JFIF YCbCr -> RGB
@@ -454,4 +889,4 @@ def _decode_scan(data, pos, sof, sel, qtbls, huff, restart_interval):
         g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
         b = y + 1.772 * (cb - 128)
         return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
-    raise NotImplementedError(f"{len(planes)}-component scan")
+    raise NotImplementedError(f"{len(planes)}-component image")

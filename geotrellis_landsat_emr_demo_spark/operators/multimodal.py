@@ -67,8 +67,9 @@ def _jpeg_decode(payload: bytes) -> "np.ndarray":
     return arr.transpose(2, 0, 1) if arr.ndim == 3 else arr
 
 
-# baseline JPEG decodes out of the box (no foreign libs needed); webp/mp4
-# and progressive/subsampled JPEG remain behind the register_decoder seam
+# JPEG (baseline + progressive, any chroma subsampling) decodes out of
+# the box (no foreign libs needed); webp/mp4 and arithmetic-coded JPEG
+# remain behind the register_decoder seam
 register_decoder("jpeg", _jpeg_decode)
 
 

@@ -66,12 +66,47 @@ def test_rgb_444_roundtrip():
     assert psnr(rgb, out) >= 40
 
 
-def test_progressive_raises():
-    data = bytearray(jpeg.encode_gray(_smooth()))
-    i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg.decode(bytes(data))
+def test_progressive_gray_bit_identical_to_baseline():
+    """The full progressive script (DC/AC spectral selection + successive
+    approximation, incl. refinement scans) reconstructs the EXACT same
+    quantized coefficients as the single baseline scan — decoded pixels
+    are bit-identical."""
+    for img in (_smooth(), np.random.default_rng(7).integers(0, 256, (41, 67), np.uint8)):
+        for q in (50, 85, 95):
+            prog = jpeg.decode(jpeg.encode_gray(img, q, progressive=True))
+            base = jpeg.decode(jpeg.encode_gray(img, q))
+            assert (prog == base).all()
+
+
+def test_progressive_rgb_and_subsampled():
+    rng = np.random.default_rng(9)
+    g = _smooth(48, 70)
+    rgb = np.stack([g, np.roll(g, 5, 0), np.roll(g, 9, 1)], axis=-1)
+    for sub in ("444", "422", "420"):
+        prog = jpeg.decode(jpeg.encode_rgb(rgb, 85, subsampling=sub, progressive=True))
+        base = jpeg.decode(jpeg.encode_rgb(rgb, 85, subsampling=sub))
+        assert (prog == base).all(), sub
+    # noise stresses every run/EOB/refinement path
+    nz = rng.integers(0, 256, (33, 49, 3), np.uint8)
+    prog = jpeg.decode(jpeg.encode_rgb(nz, 92, subsampling="420", progressive=True))
+    base = jpeg.decode(jpeg.encode_rgb(nz, 92, subsampling="420"))
+    assert (prog == base).all()
+
+
+def test_chroma_subsampling_baseline():
+    """4:2:0 / 4:2:2 decode within the PSNR gate, incl. odd dimensions
+    (partial MCUs on both axes)."""
+    g = _smooth(50, 70)
+    rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 4, 1)], axis=-1)
+    for sub, gate in (("444", 40), ("422", 35), ("420", 30)):
+        out = jpeg.decode(jpeg.encode_rgb(rgb, 90, subsampling=sub))
+        assert out.shape == rgb.shape
+        assert psnr(rgb, out) >= gate, sub
+    for h, w in ((17, 23), (16, 16), (15, 31), (8, 9)):
+        img = np.stack([_smooth(h, w)] * 3, axis=-1)
+        out = jpeg.decode(jpeg.encode_rgb(img, 90, subsampling="420"))
+        assert out.shape == img.shape
+        assert psnr(img, out) >= 30, (h, w)
 
 
 def test_not_a_jpeg_rejected():

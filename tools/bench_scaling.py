@@ -101,6 +101,55 @@ def scaled_sf_dir(sf_dir: str, k: int) -> str:
     return out
 
 
+def _pin(cpus: int | None):
+    """Pin this process (and every child spawned AFTER the call — the
+    JVM, python workers, pool workers) to the first ``cpus`` logical
+    CPUs; ``None`` restores the full set.
+
+    This is the interference-controlled protocol: an UNPINNED local[8]
+    on a 32-core box quietly borrows extra cores (GC/netty threads + 8
+    python workers overlap across >8 cores), inflating the baseline
+    denominator and DEFLATING measured 8->32 efficiency below what a
+    real 8-core node would give.  Pinning each level to exactly its
+    core budget models the cluster the north rule describes: an N-core
+    executor node HAS N cores.  SCALE_PIN=0 restores the old protocol."""
+    if not hasattr(os, "sched_setaffinity"):
+        return
+    total = os.cpu_count()
+    mask = set(range(total if cpus is None else min(cpus, total)))
+    os.sched_setaffinity(0, mask)
+    # The py4j JVM (launched by the FIRST session) outlives spark.stop()
+    # and keeps its threads' old affinity, so walk every descendant
+    # process and pin each of its threads too.  New threads inherit from
+    # their creating thread, so later-spawned executors/python workers
+    # stay inside the mask.
+    def _tasks(pid):
+        try:
+            return [int(t) for t in os.listdir(f"/proc/{pid}/task")]
+        except OSError:
+            return []
+
+    def _children(pid):
+        kids = []
+        for tid in _tasks(pid):
+            try:
+                with open(f"/proc/{pid}/task/{tid}/children") as f:
+                    kids += [int(x) for x in f.read().split()]
+            except OSError:
+                pass
+        return kids
+
+    stack = _children(os.getpid())
+    while stack:
+        pid = stack.pop()
+        stack += _children(pid)
+        for tid in _tasks(pid):
+            try:
+                os.sched_setaffinity(tid, mask)
+            except OSError:
+                pass
+
+
 def build(cpus: int):
     from geotrellis_landsat_emr_demo_spark.session import build_session
 
@@ -202,13 +251,20 @@ def kernel_probe(jobs: int = 96) -> dict:
     isolates the single-node memory-bandwidth ceiling from Spark overheads."""
     import multiprocessing as mp
 
+    pin = os.environ.get("SCALE_PIN", "1") == "1"
     out = {}
     for procs in (8, 32):
-        with mp.Pool(procs) as pool:
-            pool.map(_kernel_probe_worker, range(procs))  # warm imports
-            t0 = time.time()
-            tiles = sum(pool.map(_kernel_probe_worker, range(jobs)))
-            out[procs] = tiles / (time.time() - t0)
+        if pin:
+            _pin(procs)
+        try:
+            with mp.Pool(procs) as pool:
+                pool.map(_kernel_probe_worker, range(procs))  # warm imports
+                t0 = time.time()
+                tiles = sum(pool.map(_kernel_probe_worker, range(jobs)))
+                out[procs] = tiles / (time.time() - t0)
+        finally:
+            if pin:
+                _pin(None)
     out["efficiency"] = out[32] / (4 * out[8])
     return out
 
@@ -226,9 +282,12 @@ def main():
     suites = set(
         os.environ.get("SCALE_SUITES", "ingest,joins,cpu").split(",")
     )
+    pin = os.environ.get("SCALE_PIN", "1") == "1"
     obs = {8: [], 32: []}
     for _ in range(reps):
         for cpus in (8, 32):
+            if pin:
+                _pin(cpus)  # JVM + python workers inherit the affinity
             spark = build(cpus)
             # cold pass warms the page cache / JIT / python workers (a real
             # cluster pays these once per long-lived executor, not per job);
@@ -247,6 +306,8 @@ def main():
             obs[cpus].append(r)
             print(f"# obs {r}", flush=True)
             spark.stop()
+            if pin:
+                _pin(None)
 
     def best(level, key):
         return max(o[key] for o in obs[level])
