@@ -115,6 +115,89 @@ def ingest_bench(spark, scenes: int = 24, px: int = 512) -> dict:
     )
 
 
+def skew_merge_bench(spark, hot_scenes: int = 96, px: int = 256) -> dict:
+    """Forced-skew merge row: 8 spread scenes + ``hot_scenes`` stacked on
+    ONE footprint/timestamp (a hot cell with ~100 overlapping
+    contributors), leaf stage only, combiner-only vs auto-salted —
+    exercises the salt_buckets path the equivalence tests prove but the
+    headline ingest (uniform coverage) never stresses."""
+    import pandas as pd
+
+    from geotrellis_landsat_emr_demo_spark import fixtures
+    from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+    from geotrellis_landsat_emr_demo_spark.operators import ingest
+
+    base = fixtures.images_pdf("t-bench", n_scenes=8, px=px)
+    hot = base.iloc[[0] * hot_scenes].copy().reset_index(drop=True)
+    hot["image_id"] = [f"hot-{i:04d}" for i in range(hot_scenes)]
+    pdf = pd.concat([base, hot], ignore_index=True)
+    out = {"hot_scenes": hot_scenes}
+    # combiner vs FORCED 4-bucket salting: at local-bench scale the
+    # combiner caps per-key fan-in at one partial per task, so auto
+    # correctly picks 1 bucket (reported below) — the forced row measures
+    # what auto avoided
+    for label, salt in (("combiner_s", 1), ("salted4_s", 4)):
+        root = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"skew-{label}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        cat = Catalog(root)
+        cat.append_pandas(pdf, "images")
+        t0 = time.time()
+        m = ingest.ingest_images(
+            spark, cat, "skew", max_zoom=13, min_zoom=13, salt_buckets=salt
+        )
+        out[label] = round(time.time() - t0, 3)
+        out.setdefault("tiles", sum(v.get("rows", 0) for v in m.values()))
+        shutil.rmtree(root, ignore_errors=True)
+    out["auto_buckets"] = ingest._auto_salt_buckets(
+        spark.createDataFrame(pdf), 13, spark.sparkContext.defaultParallelism
+    )
+    return out
+
+
+def ivf_trained_bench(spark, sf_dir: str, k: int = 10, nprobe: int = 2) -> dict:
+    """Trained-vs-seeded IVF quantizer row: recall@k against the exact
+    brute-force neighbors plus warm latency, at the same nprobe — the
+    recall-per-probe lift a data-fit coarse quantizer buys."""
+    from pyspark.sql import functions as F
+
+    from geotrellis_landsat_emr_demo_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 32)
+
+    def topset(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topset(similarity.cosine_topk(emb, queries, k=k))
+
+    t0 = time.time()
+    cents, _, hist = similarity.kmeans_fit(emb, k=16, iters=5)
+    train_s = time.time() - t0
+
+    out = {"train_s": round(train_s, 3), "kmeans_obj": round(hist[-1], 4)}
+    for label, c in (("seeded", None), ("trained", cents)):
+        got = None
+        for rep in range(2):  # cold + warm; report warm
+            t0 = time.time()
+            got = topset(
+                similarity.ivf_topk(
+                    emb, queries, k=k, n_centroids=16, nprobe=nprobe, centroids=c
+                )
+            )
+            wall = time.time() - t0
+        rec = sum(
+            len(got.get(q, set()) & truth[q]) / len(truth[q]) for q in truth
+        ) / len(truth)
+        out[f"{label}_recall"] = round(rec, 4)
+        out[f"{label}_warm_s"] = round(wall, 3)
+    return out
+
+
 def main():
     os.environ["SPARK_GRAFT_CPUS"] = str(CPUS)
     from geotrellis_landsat_emr_demo_spark.session import build_session
@@ -168,6 +251,8 @@ def main():
         timings[name] = min(reps[1:])
 
     extras = {"ingest": ingest_bench(spark), "cpus": CPUS, "queries_cold": cold}
+    extras["skew_merge"] = skew_merge_bench(spark)
+    extras["ivf_trained"] = ivf_trained_bench(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

@@ -481,6 +481,42 @@ def _commit_level(
     return rows, nbytes, files
 
 
+_SALT_TARGET = 32  # fragments per (key, salt) reduce group the salted path aims for
+
+
+def _auto_salt_buckets(images_df: DataFrame, zoom: int, par: int) -> int:
+    """Pick ``salt_buckets`` from FRAGMENT-COUNT SKEW, measured on the
+    slim footprint metadata BEFORE any pixel is decoded: explode each
+    scene's covering (cx, cy) range at ``zoom`` (the same arithmetic as
+    joins.with_cover_cells — one cheap job over footprint columns only)
+    and look at the per-(tile, ts) contributor counts.
+
+    Heuristic: the map-side combiner already caps a key's reduce fan-in
+    at ONE partial per chunk task, so the effective hot-key size is
+    ``min(hot, par)`` — raw contributor counts above the task width are
+    absorbed before the shuffle (measured: 96 contributors on one cell
+    at par=32 merges FASTER combiner-only than salted; BENCH extras
+    skew_merge).  Salting pays only when that post-combiner fan-in is
+    still large — i.e. on wide clusters where par itself is thousands.
+    Then size buckets so each (key, salt) partial holds ~_SALT_TARGET
+    partials, capped at the cluster width."""
+    from .joins import with_cover_cells
+
+    stats = (
+        with_cover_cells(
+            images_df.select("ts", "xmin", "ymin", "xmax", "ymax"), zoom
+        )
+        .groupBy("cx", "cy", "ts")
+        .count()
+        .agg(F.max("count").alias("hot"))
+        .collect()[0]
+    )
+    eff = min(stats.hot or 0, par)  # combiner cap: one partial per task
+    if eff <= 4 * _SALT_TARGET:
+        return 1
+    return int(min(par, -(-eff // _SALT_TARGET)))
+
+
 def read_level(spark: SparkSession, cat: Catalog, layer: str, zoom: int) -> DataFrame:
     # manifest metadata prunes the file set to the level; the filter stays
     # for files committed without metadata (older snapshots)
@@ -498,7 +534,7 @@ def ingest_images(
     max_zoom: int = MAX_ZOOM,
     min_zoom: int = MIN_ZOOM,
     store_fmt: str = "npy-u16",
-    salt_buckets: int = 1,
+    salt_buckets: int | str = 1,
     chunk_partitions: int | None = None,
     fail_after_stage: str | None = None,
     cell_type: str = "uint16",
@@ -509,11 +545,17 @@ def ingest_images(
 
     ``fail_after_stage`` injects a crash AFTER the named stage's commit —
     the kill/resume test hook.
+
+    ``salt_buckets``: 1 = combiner-only merge; N > 1 = two-phase salted
+    merge for reduce-side skew; "auto" = derive from fragment-count skew
+    measured on the slim footprint metadata (:func:`_auto_salt_buckets`).
     """
     if images_df is None:
         images_df = cat.read_spark(spark, "images")
     metrics = {}
     par = chunk_partitions or spark.sparkContext.defaultParallelism
+    if salt_buckets == "auto":
+        salt_buckets = _auto_salt_buckets(images_df, max_zoom, par)
 
     leaf_stage = f"ingest:{layer}:z{max_zoom}"
     if not cat.is_committed(leaf_stage):

@@ -345,3 +345,33 @@ def test_export_tiles_static_tree(spark, tsmall_catalog, svc):
             assert f.read() == svc.render_tile(
                 "landsat", 13, int(row.x), int(row.y), tiso, "ndvi"
             )
+
+
+def test_auto_salt_buckets_heuristic(spark):
+    """salt_buckets='auto': the combiner caps per-key fan-in at one
+    partial per task, so uniform corpora and par-bounded hot cells pick
+    1 bucket; only post-combiner fan-in beyond 4x the salt target
+    triggers salting, sized to ~_SALT_TARGET partials per salt."""
+    pdf = fixtures.images_pdf("t-small")
+    df = spark.createDataFrame(pdf)
+    # uniform coverage, par 32: hot <= par, eff <= 4*32 -> 1
+    assert ingest._auto_salt_buckets(df, 13, 32) == 1
+    # a 4000-wide cluster with a 9000-contributor hot cell: eff = 4000,
+    # buckets = ceil(4000/32) = 125
+    import pandas as pd
+
+    hot = pdf.iloc[[0] * 300].copy().reset_index(drop=True)
+    hot["image_id"] = [f"h{i}" for i in range(len(hot))]
+    big = spark.createDataFrame(pd.concat([pdf, hot], ignore_index=True))
+    assert ingest._auto_salt_buckets(big, 13, 4000) == -(-min(300 + 1, 4000) // 32)
+    # same hot corpus at par=32: combiner cap -> eff=32 -> stays 1
+    assert ingest._auto_salt_buckets(big, 13, 32) == 1
+    # end-to-end: salt_buckets="auto" resolves and ingests
+    root = os.path.join(SCRATCH, "autosalt")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    fixtures.write_all(cat, "t-small")
+    m = ingest.ingest_images(
+        spark, cat, "landsat", max_zoom=13, min_zoom=13, salt_buckets="auto"
+    )
+    assert m["ingest:landsat:z13"]["rows"] > 0
