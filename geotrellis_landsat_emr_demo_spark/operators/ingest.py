@@ -451,13 +451,21 @@ def _commit_level(
         },
     )
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
-    nbytes = sum(os.path.getsize(f) for f in files)
-    # count rows from the staged files (cheap footer read) to avoid a
-    # second job over the pipeline
     import pyarrow.parquet as pq
 
-    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    # stat + footer reads per staged file (row counts without a second
+    # Spark job) — threaded: this is driver-serial bookkeeping between
+    # stages, and at 32 writer files x 4 pyramid levels the sequential
+    # loop was a measurable slice of the inter-stage gap
+    def _file_meta(f):
+        return os.path.getsize(f), pq.ParquetFile(f).metadata.num_rows
+
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
+        metas = list(ex.map(_file_meta, files))
+    nbytes = sum(m[0] for m in metas)
+    rows = sum(m[1] for m in metas)
     wall = time.time() - t0
     lin_files = []
     import pyarrow as pa
