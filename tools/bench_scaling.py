@@ -194,6 +194,10 @@ def joins_job(spark, sf_dir: str) -> dict:
     qs = entry.queries()
     rows = 0
     t0 = time.time()
+    # the entry layer shares one checkpointed pair relation across the
+    # dedup entries (production shape); the SCALING suite must execute
+    # the full pipeline every pass, so drop the memo per measurement
+    entry._PAIRS_MEMO.clear()
     for name in JOIN_QUERIES:
         rows += qs[name](spark, sf_dir).count()
     wall = time.time() - t0
@@ -324,15 +328,29 @@ def main():
     eff_join = hi_j / (4 * lo_j)
     eff_cpu = hi_c / (4 * lo_c)
     tiles = obs[8][0]["tiles"]
+    def paired(key):
+        """Per-rep (n8, n32) efficiencies — each rep's levels run
+        time-adjacent, so a pair shares one tenancy window; the max pair
+        is the interference-controlled reading (best-of-LEVEL mixes
+        windows and understates when one level lucks into a clean one)."""
+        return [
+            round(b[key] / (4 * a[key]), 3)
+            for a, b in zip(obs[8], obs[32])
+        ]
+
     result = dict(
-        ingest=dict(n8=round(lo_t, 1), n32=round(hi_t, 1), efficiency=round(eff_ingest, 3), tiles=tiles),
-        joins=dict(n8=round(lo_j, 1), n32=round(hi_j, 1), efficiency=round(eff_join, 3)),
-        cpu_minhash=dict(n8=round(lo_c, 1), n32=round(hi_c, 1), efficiency=round(eff_cpu, 3)),
+        ingest=dict(n8=round(lo_t, 1), n32=round(hi_t, 1), efficiency=round(eff_ingest, 3), tiles=tiles,
+                    paired=paired("tiles_per_sec")),
+        joins=dict(n8=round(lo_j, 1), n32=round(hi_j, 1), efficiency=round(eff_join, 3),
+                   paired=paired("join_rows_per_sec")),
+        cpu_minhash=dict(n8=round(lo_c, 1), n32=round(hi_c, 1), efficiency=round(eff_cpu, 3),
+                         paired=paired("cpu_docs_per_sec")),
         kernel_probe=dict(
             n8=round(probe[8], 1), n32=round(probe[32], 1),
             efficiency=round(probe["efficiency"], 3),
         ),
-        config=dict(scenes=scenes, px=px, sf_dir=sf_dir, join_k=join_k, reps=reps),
+        config=dict(scenes=scenes, px=px, sf_dir=sf_dir, join_k=join_k, reps=reps,
+                    pinned=os.environ.get("SCALE_PIN", "1") == "1"),
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # raw report per run; BENCH/BASELINE.md is curated from the best
