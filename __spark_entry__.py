@@ -1817,6 +1817,146 @@ def sql_embedding_lsh_near_dups(bits: int = 4, tables: int = 8):
     """
 
 
+N_COG_SCENES, COG_PX = 8, 256
+
+
+def _cog_entry_archive() -> list[str]:
+    """Deterministic mini COG archive for the windowed-scan entry
+    (fixtures SEED; memoized on disk — same pattern as the bench's
+    .bench_data corpora)."""
+    import os
+
+    from geotrellis_landsat_emr_demo_spark import fixtures
+    from geotrellis_landsat_emr_demo_spark.core import cog
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_data",
+        f"cogs-entry-{N_COG_SCENES}-{COG_PX}",
+    )
+    marker = os.path.join(root, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        for spec in fixtures.scene_specs("t-small", n_scenes=N_COG_SCENES, px=COG_PX):
+            arr = fixtures.scene_array(spec)
+            sx = (spec["xmax"] - spec["xmin"]) / arr.shape[2]
+            sy = (spec["ymax"] - spec["ymin"]) / arr.shape[1]
+            data = cog.write_cog(
+                arr.transpose(1, 2, 0),
+                geo=dict(
+                    pixel_scale=(sx, sy),
+                    tiepoint=(0, 0, 0, spec["xmin"], spec["ymax"], 0),
+                    epsg=int(spec["crs"].split(":")[1]),
+                ),
+                tile=(128, 128),
+            )
+            with open(os.path.join(root, f"{spec['image_id']}.tif"), "wb") as f:
+                f.write(data)
+        open(marker, "w").write("ok")
+    return sorted(
+        os.path.join(root, f) for f in os.listdir(root) if f.endswith(".tif")
+    )
+
+
+def _cog_entry_aoi():
+    """2x2 zoom-13 tiles around the fixture center (every scene
+    overlaps; windows are proper sub-rectangles of every file)."""
+    from geotrellis_landsat_emr_demo_spark import fixtures
+    from geotrellis_landsat_emr_demo_spark.core import tiling
+
+    cx, cy = fixtures.center_mercator()
+    span = tiling.tile_span(13)
+    # irrational-ish factors keep AOI edges OFF exact pixel boundaries
+    # (fixture grids derive from the same tile spans, and an edge landing
+    # exactly on a pixel line would make the floor/ceil snap 1-ulp
+    # float-sensitive between the Spark and golden-constant paths)
+    return (
+        cx - span * 1.0037, cy - span * 0.9971,
+        cx + span * 1.0029, cy + span * 0.9943,
+    )
+
+
+def _cog_entry_expected():
+    """Golden rows computed WITHOUT the COG codec: the same window
+    snapping arithmetic as core.cog.CogReader.window_by_extent, applied
+    as plain numpy slicing over the fixture arrays.  Any codec,
+    range-read, or snapping bug on the Spark side breaks the match
+    (tests/test_cog.py pins entry == these constants)."""
+    import math as _math
+
+    import numpy as np
+
+    from geotrellis_landsat_emr_demo_spark import fixtures
+
+    aoi = _cog_entry_aoi()
+    out = []
+    for spec in fixtures.scene_specs("t-small", n_scenes=N_COG_SCENES, px=COG_PX):
+        fx0, fy0, fx1, fy1 = (
+            spec["xmin"], spec["ymin"], spec["xmax"], spec["ymax"],
+        )
+        w = h = COG_PX
+        px = (fx1 - fx0) / w
+        py = (fy1 - fy0) / h
+        x0 = int(_math.floor((max(aoi[0], fx0) - fx0) / px))
+        x1 = min(int(_math.ceil((min(aoi[2], fx1) - fx0) / px)), w)
+        y0 = int(_math.floor((fy1 - min(aoi[3], fy1)) / py))
+        y1 = min(int(_math.ceil((fy1 - max(aoi[1], fy0)) / py)), h)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        arr = fixtures.scene_array(spec)[:, y0:y1, x0:x1]
+        out.append(
+            dict(
+                image_id=spec["image_id"], w=x1 - x0, h=y1 - y0, level=0,
+                px_sum=int(arr.sum(dtype=np.int64)),
+            )
+        )
+    return out
+
+
+def q_cog_window_scan(spark, sf_dir):
+    """COG archive source (SURVEY §2.1 S11; sources/cog.py): AOI-windowed
+    byte-range scan of a deterministic COG archive -> per-scene window
+    dims + pixel sum.  The reference fetches whole GeoTIFFs and crops
+    (ingest/.../LandsatInput.scala:23-27); this is the scale path that
+    reads only the intersecting tile ranges.  The oracle embeds golden
+    constants computed codec-free from the fixture arrays (same pattern
+    as the k-means seeded-constant oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from geotrellis_landsat_emr_demo_spark.core import kernels
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    rows = cogsrc.cog_scenes(spark, _cog_entry_archive(), aoi=_cog_entry_aoi())
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "w", "h", "level", "px_sum")}
+            for r in pdf.itertuples(index=False):
+                arr = kernels.decode_payload(bytes(r.bytes))
+                out["image_id"].append(r.image_id)
+                out["w"].append(r.w)
+                out["h"].append(r.h)
+                out["level"].append(r.level)
+                out["px_sum"].append(int(arr.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return rows.mapInPandas(
+        fn, "image_id string, w int, h int, level int, px_sum long"
+    )
+
+
+def sql_cog_window_scan():
+    vals = ", ".join(
+        "('%s', %d, %d, %d, %d)" % (r["image_id"], r["w"], r["h"], r["level"], r["px_sum"])
+        for r in _cog_entry_expected()
+    )
+    return f"""
+        SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+               CAST(level AS INT) AS level, CAST(px_sum AS BIGINT) AS px_sum
+        FROM (VALUES {vals}) AS t(image_id, w, h, level, px_sum)
+    """
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1874,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "cog_window_scan": q_cog_window_scan,
     }
 
 
@@ -1925,4 +2066,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "embedding_lsh_near_dups": sql_embedding_lsh_near_dups(),
         "embedding_ivf_topk": sql_embedding_ivf_topk(),
+        "cog_window_scan": sql_cog_window_scan(),
     }

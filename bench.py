@@ -198,6 +198,87 @@ def ivf_trained_bench(spark, sf_dir: str, k: int = 10, nprobe: int = 2) -> dict:
     return out
 
 
+def cog_scan_bench(spark, scenes: int = 48, px: int = 1024) -> dict:
+    """COG archive source row: AOI-windowed scan vs whole-archive scan.
+
+    The claim under test is the 100 TB access pattern (SURVEY §2.1 S11):
+    an AOI query over a COG archive costs header reads + only the
+    intersecting tile ranges, not the archive.  Reports the measured
+    bytes-read fraction alongside the walls."""
+    from pyspark.sql import functions as F
+
+    from geotrellis_landsat_emr_demo_spark import fixtures
+    from geotrellis_landsat_emr_demo_spark.core import cog, tiling
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"cogs-{scenes}-{px}"
+    )
+    marker = os.path.join(root, "_done")
+    specs = fixtures.scene_specs("t-bench", n_scenes=scenes, px=px)
+    if not os.path.exists(marker):  # deterministic; built once, reused
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        for spec in specs:
+            arr = fixtures.scene_array(spec)
+            sx = (spec["xmax"] - spec["xmin"]) / arr.shape[2]
+            sy = (spec["ymax"] - spec["ymin"]) / arr.shape[1]
+            epsg = int(spec["crs"].split(":")[1])
+            data = cog.write_cog(
+                arr.transpose(1, 2, 0),
+                geo=dict(
+                    pixel_scale=(sx, sy),
+                    tiepoint=(0, 0, 0, spec["xmin"], spec["ymax"], 0),
+                    epsg=epsg,
+                ),
+                tile=(256, 256),
+            )
+            with open(os.path.join(root, f"{spec['image_id']}.tif"), "wb") as f:
+                f.write(data)
+        open(marker, "w").write("ok")
+    paths = sorted(
+        os.path.join(root, f) for f in os.listdir(root) if f.endswith(".tif")
+    )
+
+    t0 = time.time()
+    inv = cogsrc.cog_inventory(spark, paths).cache()
+    n_files = inv.count()
+    inventory_s = time.time() - t0
+
+    # AOI = one zoom-13 tile footprint at the fixture center (every scene
+    # overlaps it; windows are small fractions of every file)
+    cx, cy = fixtures.center_mercator()
+    span = tiling.tile_span(13)
+    aoi = (cx - span / 2, cy - span / 2, cx + span / 2, cy + span / 2)
+    out = {"files": n_files, "inventory_s": round(inventory_s, 3)}
+    for label, kwargs in (
+        ("aoi", dict(aoi=aoi)),
+        ("aoi_overview", dict(aoi=aoi, resolution=4 * span / 256)),
+        ("full", dict()),
+    ):
+        wall = rows = None
+        for rep in range(2):  # cold + warm; report warm
+            t0 = time.time()
+            agg = (
+                cogsrc.cog_scenes(spark, inv, **kwargs)
+                .groupBy()
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("bytes_read").alias("br"),
+                    F.sum("file_bytes").alias("fb"),
+                )
+                .collect()[0]
+            )
+            wall, rows = time.time() - t0, agg["n"]
+        out[f"{label}_s"] = round(wall, 3)
+        out[f"{label}_scenes"] = rows
+        out[f"{label}_read_frac"] = round(
+            (agg["br"] or 0) / max(1, agg["fb"] or 0), 4
+        )
+    inv.unpersist()
+    return out
+
+
 def main():
     os.environ["SPARK_GRAFT_CPUS"] = str(CPUS)
     from geotrellis_landsat_emr_demo_spark.session import build_session
@@ -253,6 +334,7 @@ def main():
     extras = {"ingest": ingest_bench(spark), "cpus": CPUS, "queries_cold": cold}
     extras["skew_merge"] = skew_merge_bench(spark)
     extras["ivf_trained"] = ivf_trained_bench(spark, SF_DIR)
+    extras["cog_scan"] = cog_scan_bench(spark)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

@@ -6,18 +6,21 @@ LandsatInput.scala:24`` (``getRasterFromS3`` / ``getFromGoogle``) hands
 GeoTrellis a GeoTIFF per band, which GeoTrellis's own reader decodes.
 This module is the engine's built-in equivalent, sized like the baseline
 JPEG codec (core.jpeg): enough of TIFF 6.0 + the GeoTIFF extension to
-read real uncompressed / deflate / PackBits Landsat-style rasters out of
-the box, with the honest ``NotImplementedError`` seam for the exotic
-variants (LZW, JPEG-in-TIFF, planar separate, BigTIFF) a user can cover
-via :func:`operators.multimodal.register_decoder`.
+read real uncompressed / deflate / LZW / PackBits Landsat-style rasters
+out of the box, with the honest ``NotImplementedError`` seam for the
+exotic variants (JPEG-in-TIFF, planar separate) a user can cover via
+:func:`operators.multimodal.register_decoder`.
 
 Coverage:
 
 - both byte orders (``II`` little / ``MM`` big), classic TIFF magic 42
+  AND BigTIFF magic 43 (8-byte offsets/counts, LONG8/SLONG8/IFD8 types —
+  the layout files past 4 GiB require)
 - grayscale and RGB chunky interleave (SamplesPerPixel 1 or 3)
 - 8/16-bit unsigned, 16/32-bit signed, 32-bit float samples
 - striped AND tiled layouts (StripOffsets/RowsPerStrip, TileWidth/...)
-- Compression 1 (none), 8 / 32946 (zlib deflate), 32773 (PackBits)
+- Compression 1 (none), 8 / 32946 (zlib deflate), 5 (LZW, TIFF 6.0 §13
+  early-change variable-width codes), 32773 (PackBits)
 - Predictor 2 (horizontal differencing; undone with a wrapping cumsum)
 - GeoTIFF georeferencing surfaced in :func:`read` metadata:
   ModelPixelScale (33550), ModelTiepoint (33922), GeoKeyDirectory
@@ -48,6 +51,9 @@ _TYPES = {
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
     12: ("d", 8),  # DOUBLE
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
+    18: ("Q", 8),  # IFD8 (BigTIFF)
 }
 
 _T_WIDTH, _T_HEIGHT = 256, 257
@@ -59,25 +65,34 @@ _T_SAMPLE_FORMAT = 339
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
 
 _COMP_NONE, _COMP_DEFLATE_ADOBE, _COMP_PACKBITS, _COMP_DEFLATE = 1, 8, 32773, 32946
+_COMP_LZW = 5
 
 
 # ---------------------------------------------------------------- decoder --
 
 
-def _read_ifd(data: bytes, bo: str, off: int) -> dict:
+def _read_ifd(data: bytes, bo: str, off: int, big: bool = False) -> dict:
     """IFD at ``off`` -> {tag: numpy array of values} (+ next-IFD offset
-    under key -1)."""
-    (n,) = struct.unpack_from(bo + "H", data, off)
+    under key -1).  ``big``: BigTIFF layout (8-byte count/offsets, 20-byte
+    entries, inline values up to 8 bytes — TIFF supplement "BigTIFF")."""
+    if big:
+        hdr_w, ent_w, inline, cnt_fmt, off_fmt = 8, 20, 8, "HHQ", "Q"
+    else:
+        hdr_w, ent_w, inline, cnt_fmt, off_fmt = 2, 12, 4, "HHI", "I"
+    (n,) = struct.unpack_from(bo + ("Q" if big else "H"), data, off)
+    n = int(n)
     out: dict = {}
     for i in range(n):
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off + 2 + 12 * i)
+        tag, typ, cnt = struct.unpack_from(bo + cnt_fmt, data, off + hdr_w + ent_w * i)
         if typ not in _TYPES:
             continue  # unknown type: skip per TIFF 6.0 guidance
         letter, size = _TYPES[typ]
+        cnt = int(cnt)
         nbytes = size * cnt * (2 if typ == 5 else 1)
-        voff = off + 2 + 12 * i + 8
-        if nbytes > 4:
-            (voff,) = struct.unpack_from(bo + "I", data, voff)
+        voff = off + hdr_w + ent_w * i + (ent_w - inline)
+        if nbytes > inline:
+            (voff,) = struct.unpack_from(bo + off_fmt, data, voff)
+            voff = int(voff)
         if typ == 2:
             out[tag] = data[voff : voff + cnt].split(b"\0", 1)[0].decode(
                 "ascii", "replace"
@@ -90,8 +105,8 @@ def _read_ifd(data: bytes, bo: str, off: int) -> dict:
             )
             continue
         out[tag] = np.asarray(struct.unpack_from(bo + letter * cnt, data, voff))
-    (nxt,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n)
-    out[-1] = nxt
+    (nxt,) = struct.unpack_from(bo + off_fmt, data, off + hdr_w + ent_w * n)
+    out[-1] = int(nxt)
     return out
 
 
@@ -108,6 +123,99 @@ def _packbits_decode(src: bytes, expect: int) -> bytes:
             out += src[i : i + 1] * (257 - c)
             i += 1
         # c == 128: no-op
+    return bytes(out)
+
+
+def _lzw_decode(src: bytes, expect: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first variable-width codes (9->12 bits),
+    ClearCode 256 / EOI 257, and the spec's early-change convention
+    (the code width bumps when the NEXT table entry would be
+    2^width - 1, one code earlier than vanilla LZW)."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    acc = nbits = 0
+    prev = b""
+    out = bytearray()
+    for byte in src:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == CLEAR:
+                table = list(base)
+                width = 9
+                prev = b""
+                continue
+            if code == EOI:
+                return bytes(out[:expect])
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev:
+                entry = prev + prev[:1]  # KwKwK case
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            out += entry
+            if prev:
+                table.append(prev + entry[:1])
+                # the decoder's table trails the encoder's by one entry,
+                # so the early-change bump fires one entry sooner here
+                if len(table) >= (1 << width) - 2 and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= expect:
+                return bytes(out[:expect])
+        acc &= (1 << width) - 1  # keep the accumulator bounded
+    return bytes(out[:expect])
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encoder (mirror of :func:`_lzw_decode`): emits
+    ClearCode up front and again when the table fills at 4094 entries."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1 if nbits else 0
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for b in raw:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early change: bump width when the next code to be WRITTEN
+        # would not fit (table about to reach 2^width - 1)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code > 4093:  # table full: reset (keeps width <= 12)
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
 
 
@@ -130,12 +238,18 @@ def read(data: bytes):
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
     (magic,) = struct.unpack_from(bo + "H", data, 2)
-    if magic == 43:
-        raise NotImplementedError("BigTIFF not supported")
-    if magic != 42:
+    big = magic == 43
+    if big:
+        # BigTIFF header: offset-size (must be 8) + reserved, then Q offset
+        osize, _zero = struct.unpack_from(bo + "HH", data, 4)
+        if osize != 8:
+            raise NotImplementedError(f"BigTIFF offset size {osize}")
+        (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
+    elif magic != 42:
         raise ValueError(f"not a TIFF (magic {magic})")
-    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
-    ifd = _read_ifd(data, bo, ifd_off)
+    else:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    ifd = _read_ifd(data, bo, int(ifd_off), big=big)
 
     w = int(ifd[_T_WIDTH][0])
     h = int(ifd[_T_HEIGHT][0])
@@ -163,14 +277,16 @@ def read(data: bytes):
     dtype = np.dtype(bo + dt)
 
     if comp in (_COMP_DEFLATE_ADOBE, _COMP_DEFLATE):
-        inflate = zlib.decompress
+        inflate = lambda b, want: zlib.decompress(b)  # noqa: E731
     elif comp == _COMP_PACKBITS:
-        inflate = None  # needs expected size; handled below
+        inflate = _packbits_decode
+    elif comp == _COMP_LZW:
+        inflate = _lzw_decode
     elif comp == _COMP_NONE:
-        inflate = lambda b: b  # noqa: E731
+        inflate = lambda b, want: b  # noqa: E731
     else:
         raise NotImplementedError(
-            f"TIFF compression {comp} (LZW/JPEG-in-TIFF: plug a decoder in "
+            f"TIFF compression {comp} (JPEG-in-TIFF etc.: plug a decoder in "
             "via operators.multimodal.register_decoder)"
         )
 
@@ -178,9 +294,7 @@ def read(data: bytes):
         for off, cnt in zip(offsets, counts):
             raw = bytes(data[int(off) : int(off) + int(cnt)])
             want = bw * bh * spp * dtype.itemsize
-            raw = (
-                _packbits_decode(raw, want) if inflate is None else inflate(raw)
-            )
+            raw = inflate(raw, want)
             arr = np.frombuffer(raw, dtype=dtype, count=min(len(raw) // dtype.itemsize, bw * bh * spp))
             if arr.size < bw * bh * spp:  # short final strip: pad
                 arr = np.concatenate([arr, np.zeros(bw * bh * spp - arr.size, dtype)])
@@ -301,7 +415,7 @@ def encode(
 
     comp_code = {
         "none": _COMP_NONE, "deflate": _COMP_DEFLATE_ADOBE,
-        "packbits": _COMP_PACKBITS,
+        "packbits": _COMP_PACKBITS, "lzw": _COMP_LZW,
     }[compression]
 
     def pack(block: np.ndarray) -> bytes:
@@ -312,6 +426,8 @@ def encode(
             return zlib.compress(raw, 6)
         if comp_code == _COMP_PACKBITS:
             return _packbits_encode(raw)
+        if comp_code == _COMP_LZW:
+            return _lzw_encode(raw)
         return raw
 
     payloads: list[bytes] = []

@@ -1,0 +1,359 @@
+"""COG windowed reader/writer + the Spark archive source.
+
+Covers the 100 TB access-pattern claims with measured gates: a window
+read must cost a small fraction of the file (range accounting), the
+overview chain must serve low-resolution queries, and the Spark source
+must produce ingest-ready rows reading only AOI bytes.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from geotrellis_landsat_emr_demo_spark import fixtures
+from geotrellis_landsat_emr_demo_spark.core import cog, kernels, tiff
+
+RNG = np.random.default_rng(7)
+
+
+def _img(h, w, dtype="u2", bands=1):
+    hi = {"u1": 250, "u2": 60000, "i2": 30000, "f4": 1.0}[dtype]
+    a = RNG.random((h, w, bands)) * hi
+    out = a.astype(dtype)
+    return out[..., 0] if bands == 1 else out
+
+
+GEO = dict(
+    pixel_scale=(30.0, 30.0),
+    tiepoint=(0, 0, 0, 500000.0, 4600000.0, 0),
+    epsg=32617,
+)
+
+
+# ------------------------------------------------------------ round-trip --
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits", "lzw"])
+@pytest.mark.parametrize("dtype,predictor", [("u2", 1), ("u2", 2), ("u1", 2), ("f4", 1)])
+def test_write_cog_tiff_read_roundtrip(compression, dtype, predictor):
+    img = _img(300, 520, dtype)
+    data = cog.write_cog(
+        img, geo=GEO, tile=(128, 128), compression=compression, predictor=predictor
+    )
+    arr, meta = tiff.read(data)
+    assert np.array_equal(arr, img)
+    assert meta["epsg"] == 32617 and meta["tiled"]
+
+
+def test_write_cog_multiband_roundtrip():
+    img = _img(200, 300, "u2", bands=5)  # Landsat-ish band count
+    data = cog.write_cog(img, geo=GEO, tile=(64, 64))
+    arr, _ = tiff.read(data)
+    assert arr.shape == (200, 300, 5)
+    assert np.array_equal(arr, img)
+
+
+def test_overview_chain_levels_and_content():
+    img = _img(700, 900, "u2")
+    data = cog.write_cog(img, geo=GEO, tile=(256, 256))
+    cr = cog.open_cog(data)
+    dims = [(lv.width, lv.height) for lv in cr.info.levels]
+    assert dims == [(900, 700), (450, 350), (225, 175)]
+    # overview 1 is the 2x2 mean of level 0 (edge-replicated)
+    lvl1 = cr.window(1, 0, 0, 450, 350)
+    assert np.array_equal(lvl1, cog._downsample2(img[:, :, None])[..., 0])
+
+
+# ---------------------------------------------------------- window reads --
+
+
+def test_window_equals_crop_every_level():
+    img = _img(700, 900, "u2")
+    data = cog.write_cog(img, geo=GEO, tile=(256, 256), predictor=2)
+    cr = cog.open_cog(data)
+    full = [cr.window(i, 0, 0, lv.width, lv.height) for i, lv in enumerate(cr.info.levels)]
+    for i, lv in enumerate(cr.info.levels):
+        w = cr.window(i, 37, 53, 211, 145)
+        assert np.array_equal(w, full[i][53 : 53 + 145, 37 : 37 + 211])
+
+
+def test_window_read_cost_fraction():
+    img = _img(2048, 2048, "u2")
+    data = cog.write_cog(img, geo=GEO, tile=(256, 256), compression="none")
+    rd = cog.BytesRangeReader(data)
+    cr = cog.CogReader(rd)
+    before = rd.bytes_read
+    cr.window(0, 100, 100, 200, 200)  # 4 tiles of 64
+    window_bytes = rd.bytes_read - before
+    assert window_bytes < 0.1 * len(data), (window_bytes, len(data))
+    # and the whole open+read needed only a handful of range requests
+    assert rd.requests <= 6
+
+
+def test_window_by_extent_and_overview_selection():
+    img = _img(700, 900, "u2")
+    data = cog.write_cog(img, geo=GEO, tile=(256, 256))
+    cr = cog.open_cog(data)
+    fx0, fy0, fx1, fy1 = cr.info.extent
+    ext = (fx0 + 3000, fy0 + 3000, fx0 + 9000, fy0 + 9000)
+    arr, actual, level = cr.window_by_extent(ext)
+    assert level == 0
+    # the actual extent covers the request, snapped to the pixel grid
+    assert actual[0] <= ext[0] and actual[2] >= ext[2]
+    # resolution coarser than 2x native -> overview serves the read
+    arr1, _a, level1 = cr.window_by_extent(ext, resolution=60.0)
+    assert level1 == 1 and arr1.shape[0] == arr.shape[0] // 2
+    # sharper than any overview -> full res
+    assert cr.info.select_level(30.0) == 0
+    assert cr.info.select_level(1000.0) == len(cr.info.levels) - 1
+
+
+def test_coalesce_merges_near_ranges():
+    got = cog._coalesce([(0, 10), (15, 10), (100_000, 5), (200_000, 5)], gap=32)
+    assert got == [(0, 25), (100_000, 5), (200_000, 5)]
+    assert cog._coalesce([]) == []
+
+
+def test_foreign_tail_ifd_tiff_still_parses():
+    """core.tiff.encode puts the IFD at the END (classic, non-COG); the
+    chain parser must grow its prefix and still read it."""
+    img = _img(600, 800, "u2")
+    data = tiff.encode(img, tiled=True, tile=(256, 256), geo=GEO)
+    cr = cog.open_cog(data)
+    assert len(cr.info.levels) == 1  # no overviews in the classic writer
+    w = cr.window(0, 10, 20, 100, 50)
+    assert np.array_equal(w, img[20:70, 10:110])
+
+
+def test_striped_tiff_rejected_with_pointer():
+    img = _img(100, 100, "u2")
+    data = tiff.encode(img, tiled=False, geo=GEO)
+    with pytest.raises(NotImplementedError, match="striped"):
+        cog.open_cog(data)
+
+
+# ------------------------------------------------------------ spark source --
+
+
+@pytest.fixture(scope="module")
+def cog_dir(tmp_path_factory):
+    """Six fixture scenes written as 5-band COG files (EPSG:3857, per
+    the fixture specs)."""
+    root = tmp_path_factory.mktemp("cogs")
+    for spec in fixtures.scene_specs("t-small", n_scenes=6, px=512):
+        arr = fixtures.scene_array(spec)  # (5, h, w) uint16
+        sx = (spec["xmax"] - spec["xmin"]) / arr.shape[2]
+        sy = (spec["ymax"] - spec["ymin"]) / arr.shape[1]
+        epsg = int(spec["crs"].split(":")[1]) if spec["crs"].startswith("EPSG") else 3857
+        data = cog.write_cog(
+            arr.transpose(1, 2, 0),
+            geo=dict(
+                pixel_scale=(sx, sy),
+                tiepoint=(0, 0, 0, spec["xmin"], spec["ymax"], 0),
+                epsg=epsg,
+            ),
+            tile=(128, 128),  # 4x4 tile grid: a centered half-window
+            # costs 4/16 tiles, making the read-fraction gate meaningful
+        )
+        name = f"{spec['image_id']}__{spec['ts_millis']}.tif"
+        (root / name).write_bytes(data)
+    return str(root)
+
+
+def test_cog_inventory(spark, cog_dir):
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    paths = sorted(glob.glob(os.path.join(cog_dir, "*.tif")))
+    inv = cogsrc.cog_inventory(spark, paths).orderBy("path").collect()
+    assert len(inv) == len(paths)
+    specs = {s["image_id"]: s for s in fixtures.scene_specs("t-small", n_scenes=6, px=512)}
+    for r in inv:
+        sid = os.path.basename(r.path).split("__")[0]
+        s = specs[sid]
+        assert (r.width, r.height) == (512, 512)
+        assert r.n_levels >= 2
+        assert abs(r.xmin - s["xmin"]) < 1e-6 and abs(r.ymax - s["ymax"]) < 1e-6
+        assert r.header_bytes < r.file_bytes * 0.25
+
+
+def test_cog_scenes_window_matches_fixture(spark, cog_dir):
+    from geotrellis_landsat_emr_demo_spark.core import proj
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    specs = fixtures.scene_specs("t-small", n_scenes=6, px=512)
+    s0 = specs[0]
+    # AOI: center quarter of scene 0, in EPSG:3857
+    cw = (s0["xmax"] - s0["xmin"]) / 4
+    native_aoi = (
+        s0["xmin"] + cw, s0["ymin"] + cw, s0["xmax"] - cw, s0["ymax"] - cw,
+    )
+    aoi = proj.extent_to_mercator(native_aoi, s0["crs"])
+    paths = sorted(glob.glob(os.path.join(cog_dir, "*.tif")))
+    rows = cogsrc.cog_scenes(spark, paths, aoi=aoi).collect()
+    assert rows  # at least scene 0 intersects
+    by_id = {r.image_id.split("__")[0]: r for r in rows}
+    r0 = by_id[s0["image_id"]]
+    # payload decodes to the window crop of the synthetic field
+    arr = kernels.decode_payload(bytes(r0.bytes))
+    assert arr.shape[0] == 5
+    full = fixtures.scene_array(s0)
+    sx = (s0["xmax"] - s0["xmin"]) / 512
+    x0 = int(round((r0.xmin - s0["xmin"]) / sx))
+    y0 = int(round((s0["ymax"] - r0.ymax) / sx))
+    crop = full[:, y0 : y0 + arr.shape[1], x0 : x0 + arr.shape[2]]
+    assert np.array_equal(arr, crop)
+    # the scale property: the AOI read cost a fraction of the file
+    assert r0.bytes_read < 0.45 * r0.file_bytes
+    assert r0.crs == s0["crs"]
+
+
+def test_cog_scenes_inventory_prefilter_and_resolution(spark, cog_dir):
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    paths = sorted(glob.glob(os.path.join(cog_dir, "*.tif")))
+    inv = cogsrc.cog_inventory(spark, paths).cache()
+    try:
+        # AOI far away: envelope prefilter prunes everything, zero opens
+        far = (2.0e7, 2.0e7, 2.01e7, 2.01e7)
+        assert cogsrc.cog_scenes(spark, inv, aoi=far).count() == 0
+        # coarse resolution -> overview level serves every scene
+        lvl_rows = (
+            cogsrc.cog_scenes(spark, inv, resolution=1e6).select("level", "w", "h").collect()
+        )
+        assert lvl_rows and all(r.level >= 1 for r in lvl_rows)
+        assert all(r.w <= 256 and r.h <= 256 for r in lvl_rows)
+    finally:
+        inv.unpersist()
+
+
+def test_cog_scenes_feed_ingest(spark, cog_dir, tmp_path):
+    """End-to-end: COG archive -> windowed scenes -> tile layer."""
+    from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+    from geotrellis_landsat_emr_demo_spark.operators import ingest
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    paths = sorted(glob.glob(os.path.join(cog_dir, "*.tif")))
+    scenes = cogsrc.cog_scenes(spark, paths).toPandas()
+    scenes["image_id"] = scenes["image_id"].str.split("__").str[0]
+    scenes["ts_millis"] = [
+        int(os.path.basename(p).split("__")[1].split(".")[0]) for p in paths
+    ]
+    scenes["ts"] = scenes["ts_millis"].map(lambda m: np.datetime64(int(m), "ms"))
+    scenes["phash"] = 0
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.append_pandas(scenes, "images")
+    m = ingest.ingest_images(spark, cat, "cogdemo", max_zoom=13, min_zoom=12)
+    assert sum(v.get("rows", 0) for v in m.values()) > 0
+
+
+def test_cog_scenes_utm_cross_crs(spark, tmp_path):
+    """A UTM-georeferenced COG: the 3857 AOI must map into the native
+    grid for the window read, and the row must carry the native CRS so
+    ingest's warp stage applies."""
+    from geotrellis_landsat_emr_demo_spark.core import proj
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    img = _img(512, 512, "u2")
+    # scene near (17N) zone center: easting ~500km avoids edge distortion
+    geo = dict(
+        pixel_scale=(30.0, 30.0),
+        tiepoint=(0, 0, 0, 492320.0, 4612704.0, 0),
+        epsg=32617,
+    )
+    p = tmp_path / "utm.tif"
+    p.write_bytes(cog.write_cog(img, geo=geo, tile=(128, 128)))
+    ext = (492320.0, 4612704.0 - 512 * 30.0, 492320.0 + 512 * 30.0, 4612704.0)
+    # AOI: the middle ninth of the scene, expressed in EPSG:3857
+    third = (ext[2] - ext[0]) / 3
+    native_aoi = (ext[0] + third, ext[1] + third, ext[2] - third, ext[3] - third)
+    aoi = proj.extent_to_mercator(native_aoi, "EPSG:32617")
+    rows = cogsrc.cog_scenes(spark, [str(p)], aoi=aoi).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.crs == "EPSG:32617"
+    arr = kernels.decode_payload(bytes(r.bytes))
+    # native window covers the AOI's native envelope, snapped to pixels
+    assert r.xmin <= native_aoi[0] + 30 and r.xmax >= native_aoi[2] - 30
+    x0 = int(round((r.xmin - ext[0]) / 30.0))
+    y0 = int(round((ext[3] - r.ymax) / 30.0))
+    assert np.array_equal(
+        arr[0], img[y0 : y0 + arr.shape[1], x0 : x0 + arr.shape[2]]
+    )
+    # disjoint AOI (east of the scene's own mercator envelope) -> nothing
+    scene_m = proj.extent_to_mercator(ext, "EPSG:32617")
+    far = (scene_m[2] + 1e4, aoi[1], scene_m[2] + 2e4, aoi[3])
+    assert cogsrc.cog_scenes(spark, [str(p)], aoi=far).count() == 0
+
+
+def test_cog_entry_matches_golden_constants(spark):
+    """The driver-gate entry (cog_window_scan) must reproduce the
+    codec-free golden rows its DuckDB oracle embeds."""
+    import __spark_entry__ as entry
+
+    got = {
+        r.image_id: (r.w, r.h, r.level, r.px_sum)
+        for r in entry.q_cog_window_scan(spark, "unused").collect()
+    }
+    want = {
+        r["image_id"]: (r["w"], r["h"], r["level"], r["px_sum"])
+        for r in entry._cog_entry_expected()
+    }
+    assert got == want and len(got) == entry.N_COG_SCENES
+
+
+def test_cog_sync_incremental(spark, cog_dir, tmp_path):
+    """Archive->layer sync: pass 1 ingests all files, pass 2 is a no-op,
+    pass 3 picks up exactly the newly arrived file; latest-gen read
+    resolves."""
+    from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+    from geotrellis_landsat_emr_demo_spark.streaming.incremental import (
+        read_incremental_tiles,
+    )
+
+    cat = Catalog(str(tmp_path / "sync-cat"))
+    paths = sorted(glob.glob(os.path.join(cog_dir, "*.tif")))[:3]
+    m1 = cogsrc.cog_sync(spark, cat, "sync", paths, max_zoom=12)
+    assert m1["new_files"] == 3 and m1["new_images"] == 3
+    n1 = read_incremental_tiles(spark, cat, "sync").count()
+    assert n1 > 0
+
+    # same paths again: nothing new, no ingest work
+    assert cogsrc.cog_sync(spark, cat, "sync", paths, max_zoom=12) == {
+        "new_files": 0
+    }
+
+    # a new scene arrives: only it is windowed + ingested
+    extra = sorted(glob.glob(os.path.join(cog_dir, "*.tif")))[3]
+    m3 = cogsrc.cog_sync(spark, cat, "sync", paths + [extra], max_zoom=12)
+    assert m3["new_files"] == 1 and m3["new_images"] == 1
+    assert m3["gen"] == m1["gen"] + 1
+    n3 = read_incremental_tiles(spark, cat, "sync").count()
+    assert n3 >= n1
+
+
+def test_bigtiff_roundtrip_and_window():
+    """BigTIFF (magic 43, 8-byte offsets, LONG8 tile-offset tag): the
+    flavor 4 GiB+ archives require.  Same content, either container."""
+    img = _img(700, 900, "u2")
+    data = cog.write_cog(img, geo=GEO, tile=(256, 256), bigtiff=True)
+    # classic header is 8 bytes, BigTIFF 16, magic 43
+    import struct
+
+    assert struct.unpack_from("<H", data, 2)[0] == 43
+    arr, meta = tiff.read(data)
+    assert np.array_equal(arr, img)
+    assert meta["epsg"] == 32617
+    cr = cog.open_cog(data)
+    assert [(lv.width, lv.height) for lv in cr.info.levels] == [
+        (900, 700), (450, 350), (225, 175),
+    ]
+    w = cr.window(0, 37, 53, 211, 145)
+    assert np.array_equal(w, img[53:198, 37:248])
+    # windows on overview levels too
+    w1 = cr.window(1, 10, 10, 64, 64)
+    assert np.array_equal(
+        w1, cog._downsample2(img[:, :, None])[10:74, 10:74, 0]
+    )

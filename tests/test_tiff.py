@@ -18,7 +18,7 @@ def _img(h=37, w=53, dtype=np.uint16, channels=1, seed=0):
     return rng.integers(0, hi, shape).astype(dtype)
 
 
-@pytest.mark.parametrize("compression", ["none", "deflate", "packbits"])
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits", "lzw"])
 @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
 def test_striped_roundtrip(compression, dtype):
     img = _img(dtype=dtype)
@@ -29,7 +29,7 @@ def test_striped_roundtrip(compression, dtype):
     assert not meta["tiled"]
 
 
-@pytest.mark.parametrize("compression", ["none", "deflate", "packbits"])
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits", "lzw"])
 def test_tiled_roundtrip(compression):
     img = _img(h=70, w=100)
     data = tiff.encode_gray(img, compression=compression, tiled=True, tile=(32, 32))
@@ -97,7 +97,7 @@ def test_geotiff_tags_roundtrip():
 def test_unsupported_variants_raise():
     img = _img(h=8, w=8, dtype=np.uint8)
     data = bytearray(tiff.encode_gray(img, compression="none"))
-    # rewrite the Compression tag value to LZW (5): find tag 259 in IFD
+    # rewrite the Compression tag value to JPEG-in-TIFF (7): tag 259
     import struct
 
     (ifd_off,) = struct.unpack_from("<I", data, 4)
@@ -105,14 +105,15 @@ def test_unsupported_variants_raise():
     for i in range(n):
         tag = struct.unpack_from("<H", data, ifd_off + 2 + 12 * i)[0]
         if tag == 259:
-            struct.pack_into("<H", data, ifd_off + 2 + 12 * i + 8, 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            struct.pack_into("<H", data, ifd_off + 2 + 12 * i + 8, 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         tiff.decode(bytes(data))
     with pytest.raises(ValueError, match="TIFF"):
         tiff.decode(b"\x89PNG\r\n")
-    bigtiff = struct.pack("<2sHI", b"II", 43, 8)
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
-        tiff.decode(bigtiff)
+    # BigTIFF with a non-8 offset size is the (rare) unsupported corner
+    bad_big = struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16)
+    with pytest.raises(NotImplementedError, match="BigTIFF offset size"):
+        tiff.decode(bad_big)
 
 
 def test_multimodal_registry_e2e(spark):
@@ -196,3 +197,32 @@ def test_ingest_e2e_geotiff_payload(spark, tsmall_catalog):
         assert (
             K.decode_payload(w_map[k]) == K.decode_payload(g_map[k])
         ).all(), k
+
+
+def test_lzw_roundtrip_property():
+    """TIFF 6.0 §13 LZW: arbitrary byte streams round-trip, including
+    table-reset (>4093 entries) and width-change boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=4000))
+    def check(raw):
+        assert tiff._lzw_decode(tiff._lzw_encode(raw), len(raw)) == raw
+
+    check()
+    # deterministic long/low-entropy stream crosses 9->10->11->12 bit
+    # widths and the 4094-entry table reset
+    rng = np.random.default_rng(11)
+    long = bytes(rng.integers(0, 17, 250_000).astype(np.uint8))
+    assert tiff._lzw_decode(tiff._lzw_encode(long), len(long)) == long
+
+
+def test_lzw_width_boundary_exact():
+    """Pin the early-change boundary: a stream engineered to emit the
+    254th new table entry (code 511) must decode identically — the
+    decoder bumps width one entry before the encoder's table fills."""
+    # distinct 2-byte pairs force one table add per pair
+    raw = bytes(bytearray((i % 256, (i * 7 + 3) % 256))[j] for i in range(400) for j in range(2))
+    enc = tiff._lzw_encode(raw)
+    assert tiff._lzw_decode(enc, len(raw)) == raw

@@ -171,6 +171,47 @@ BANDED_PROBE_CHECKS = [
 ]
 
 
+def ngram_pairs_df(spark):
+    """The ngram_jaccard entry returns the SHARED pairs checkpoint
+    (__spark_entry__._shared_jaccard_pairs), so its own plan collapses to
+    an ExistingRDD scan.  Build the underlying prefix-filtered join
+    directly (same parameters, no memo) so the equi-join shape is
+    visible to the checks."""
+    import __spark_entry__ as entry
+    from geotrellis_landsat_emr_demo_spark.operators.textops import (
+        ngram_jaccard_pairs,
+    )
+
+    d = entry._t(spark, SF_DIR, "documents")
+    return ngram_jaccard_pairs(
+        d, bucket_col="source", min_jaccard=0.7, lowercase=False,
+        split_pattern=" ", round_to=3,
+    )
+
+
+def cog_prefilter_df(spark):
+    """COG source over a persisted inventory (sources/cog.cog_scenes):
+    the AOI envelope predicate must appear as a Catalyst Filter BELOW the
+    MapInPandas scan — non-intersecting files are pruned before any file
+    I/O happens (SURVEY §2.1 S11)."""
+    import __spark_entry__ as entry
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    paths = entry._cog_entry_archive()
+    inv = cogsrc.cog_inventory(spark, paths).localCheckpoint(eager=True)
+    return cogsrc.cog_scenes(spark, inv, aoi=entry._cog_entry_aoi())
+
+
+# the envelope prefilter (Catalyst Filter on mxmin/mxmax/...) must sit
+# under the python source stage; the scan itself is Python by design
+# (RangeReader I/O), so InPandas IS expected here
+COG_PREFILTER_CHECKS = [
+    r"Filter[\s\S]{0,400}?mxmin",
+    "MapInPandas|FlatMapGroupsInPandas|InPandas",
+    "!CartesianProduct",
+]
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -195,14 +236,18 @@ def main():
 
     ok_all = True
     named = list(CHECKS.items()) + [
-        ("incremental_minhash_banded (stored-index probe)", BANDED_PROBE_CHECKS)
+        ("incremental_minhash_banded (stored-index probe)", BANDED_PROBE_CHECKS),
+        ("cog_scenes_prefilter (inventory envelope pruning)", COG_PREFILTER_CHECKS),
     ]
     for name, patterns in named:
-        df = (
-            banded_probe_df(spark)
-            if name.startswith("incremental_minhash_banded")
-            else qs[name](spark, SF_DIR)
-        )
+        if name.startswith("incremental_minhash_banded"):
+            df = banded_probe_df(spark)
+        elif name.startswith("cog_scenes_prefilter"):
+            df = cog_prefilter_df(spark)
+        elif name == "ngram_jaccard":
+            df = ngram_pairs_df(spark)  # un-memoized: join shape visible
+        else:
+            df = qs[name](spark, SF_DIR)
         plan = plan_of(df)
         out.append(f"\n## {name}\n")
         for pat in patterns:
