@@ -45,6 +45,9 @@ from .tiff import (
     _COMP_NONE,
     _COMP_PACKBITS,
     _T_BITS,
+    _T_ROWS_PER_STRIP,
+    _T_STRIP_COUNTS,
+    _T_STRIP_OFFSETS,
     _T_COMPRESSION,
     _T_GEOKEYS,
     _T_HEIGHT,
@@ -145,6 +148,11 @@ class CogLevel:
     spp: int
     comp: int
     pred: int
+    # striped files (classic Landsat L1 layout) are modeled as one-tile-
+    # wide rows: tile_w = width, tile_h = rows_per_strip.  Row windows
+    # still prune to the intersecting strips; column windows necessarily
+    # fetch full strip widths (inherent to the layout, not the reader).
+    striped: bool = False
 
     @property
     def tiles_across(self) -> int:
@@ -263,11 +271,6 @@ def _parse_chain_buf(data: bytes, reader: RangeReader) -> CogInfo:
         if off + hdr_w + ent_w * int(cnt) + (8 if big else 4) > len(data):
             raise _NeedMore
         ifd = tiff._read_ifd(data, bo, off, big=big)
-        if _T_TILE_OFFSETS not in ifd:
-            raise NotImplementedError(
-                "striped TIFF: windowed reads need the tiled layout "
-                "(core.tiff.read handles striped files whole)"
-            )
         planar = int(ifd.get(_T_PLANAR, [1])[0])
         if planar != 1:
             raise NotImplementedError("planar (separate) configuration")
@@ -277,17 +280,29 @@ def _parse_chain_buf(data: bytes, reader: RangeReader) -> CogInfo:
             _COMP_PACKBITS, _COMP_LZW,
         ):
             raise NotImplementedError(f"TIFF compression {comp}")
+        w = int(ifd[_T_WIDTH][0])
+        h = int(ifd[_T_HEIGHT][0])
+        if _T_TILE_OFFSETS in ifd:
+            tw, th = int(ifd[_T_TILE_W][0]), int(ifd[_T_TILE_H][0])
+            offs, cnts, striped = ifd[_T_TILE_OFFSETS], ifd[_T_TILE_COUNTS], False
+        else:
+            # striped layout (classic Landsat L1): strips ARE full-width
+            # tiles; row windows prune to intersecting strips
+            rps = int(ifd.get(_T_ROWS_PER_STRIP, [h])[0])
+            tw, th = w, min(max(1, rps), h)
+            offs, cnts, striped = ifd[_T_STRIP_OFFSETS], ifd[_T_STRIP_COUNTS], True
         lv = CogLevel(
-            width=int(ifd[_T_WIDTH][0]),
-            height=int(ifd[_T_HEIGHT][0]),
-            tile_w=int(ifd[_T_TILE_W][0]),
-            tile_h=int(ifd[_T_TILE_H][0]),
-            offsets=np.asarray(ifd[_T_TILE_OFFSETS], dtype=np.int64),
-            counts=np.asarray(ifd[_T_TILE_COUNTS], dtype=np.int64),
+            width=w,
+            height=h,
+            tile_w=tw,
+            tile_h=th,
+            offsets=np.asarray(offs, dtype=np.int64),
+            counts=np.asarray(cnts, dtype=np.int64),
             dtype=np.dtype(bo + _dtype_of(ifd).str[1:]),
             spp=int(ifd.get(_T_SPP, [1])[0]),
             comp=comp,
             pred=int(ifd.get(_T_PREDICTOR, [1])[0]),
+            striped=striped,
         )
         sub = int(ifd.get(_T_SUBFILE, [0])[0])
         levels.append((lv, sub))

@@ -127,11 +127,41 @@ def test_foreign_tail_ifd_tiff_still_parses():
     assert np.array_equal(w, img[20:70, 10:110])
 
 
-def test_striped_tiff_rejected_with_pointer():
-    img = _img(100, 100, "u2")
-    data = tiff.encode(img, tiled=False, geo=GEO)
-    with pytest.raises(NotImplementedError, match="striped"):
-        cog.open_cog(data)
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits", "lzw"])
+def test_striped_tiff_windowed_read(compression):
+    """Classic striped GeoTIFF (the Landsat L1 layout): strips are
+    modeled as full-width tiles, so row windows fetch only the
+    intersecting strips."""
+    img = _img(600, 400, "u2")
+    data = tiff.encode(
+        img, tiled=False, rows_per_strip=64, compression=compression, geo=GEO
+    )
+    rd = cog.BytesRangeReader(data)
+    cr = cog.CogReader(rd)
+    lv = cr.info.levels[0]
+    assert lv.striped and (lv.tile_w, lv.tile_h) == (400, 64)
+    before = rd.bytes_read
+    w = cr.window(0, 30, 70, 250, 100)  # rows 70..170 -> strips 1..2
+    assert np.array_equal(w, img[70:170, 30:280])
+    if compression == "none":
+        # 3 of 10 strips intersect [64,192); only they are fetched
+        assert rd.bytes_read - before <= 3 * 64 * 400 * 2 + 4096
+    # short last strip decodes too (600 = 9*64 + 24 rows)
+    tail = cr.window(0, 0, 590, 400, 10)
+    assert np.array_equal(tail, img[590:600])
+
+
+def test_striped_tiff_window_by_extent():
+    img = _img(512, 512, "u2")
+    data = tiff.encode(img, tiled=False, rows_per_strip=128, geo=GEO)
+    cr = cog.open_cog(data)
+    fx0, fy0, fx1, fy1 = cr.info.extent
+    ext = (fx0 + 900, fy1 - 2100, fx0 + 2100, fy1 - 900)
+    arr, actual, level = cr.window_by_extent(ext)
+    assert level == 0
+    x0 = int(round((actual[0] - fx0) / 30.0))
+    y0 = int(round((fy1 - actual[3]) / 30.0))
+    assert np.array_equal(arr, img[y0 : y0 + arr.shape[0], x0 : x0 + arr.shape[1]])
 
 
 # ------------------------------------------------------------ spark source --
