@@ -168,6 +168,10 @@ class CogInfo:
     levels: list  # CogLevel, index 0 = full resolution
     geo: dict = field(default_factory=dict)  # pixel_scale/tiepoint/epsg
     header_bytes: int = 0  # prefix consumed to parse the chain
+    # bytes fetched while parsing (64 KiB for a proper COG; grows to the
+    # IFD span for foreign tail-IFD layouts) — kept so window reads can
+    # be served from it instead of re-fetching the same ranges
+    prefix: bytes = field(default=b"", repr=False)
 
     @property
     def extent(self):
@@ -329,7 +333,8 @@ def _parse_chain_buf(data: bytes, reader: RangeReader) -> CogInfo:
     # full-res first, then overviews by decreasing size
     levels.sort(key=lambda t: (t[1] != 0, -t[0].width))
     return CogInfo(
-        levels=[lv for lv, _ in levels], geo=geo, header_bytes=reader.bytes_read
+        levels=[lv for lv, _ in levels], geo=geo,
+        header_bytes=reader.bytes_read, prefix=data,
     )
 
 
@@ -379,6 +384,10 @@ class CogReader:
     def __init__(self, reader: RangeReader):
         self.reader = reader
         self.info = parse_chain(reader)
+        # ranges inside the already-fetched parse prefix are served from
+        # it (a foreign tail-IFD file costs ONE pass, not two; a proper
+        # COG's 64 KiB prefix rarely contains payload tiles)
+        self.prefix = self.info.prefix
 
     def window(self, level: int, x0: int, y0: int, w: int, h: int) -> np.ndarray:
         """Pixel window at ``level`` -> (h, w) or (h, w, spp) array.
@@ -400,7 +409,10 @@ class CogReader:
                 wanted[idx] = (int(lv.offsets[idx]), int(lv.counts[idx]))
         fetched = {}
         for off, cnt in _coalesce(list(wanted.values())):
-            fetched[off] = self.reader.read(off, cnt)
+            if off + cnt <= len(self.prefix):
+                fetched[off] = self.prefix[off : off + cnt]
+            else:
+                fetched[off] = self.reader.read(off, cnt)
 
         def tile_bytes(off: int, cnt: int) -> bytes:
             for base in fetched:
