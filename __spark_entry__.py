@@ -588,14 +588,27 @@ def _shared_jaccard_pairs(spark, sf_dir):
     got = _PAIRS_MEMO.get(key)
     if got is None:
         d = _t(spark, sf_dir, "documents")
-        got = ngram_jaccard_pairs(
+        pairs = ngram_jaccard_pairs(
             d,
             bucket_col="source",
             min_jaccard=0.7,
             lowercase=False,
             split_pattern=" ",
             round_to=3,
-        ).localCheckpoint(eager=True)
+        )
+        # RELIABLE (file-based) checkpoint, not localCheckpoint: the memo
+        # crosses query boundaries, and bench harnesses legitimately
+        # unpersist all RDDs between queries — block-backed checkpoints
+        # die there (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, lineage already
+        # truncated) while file-backed ones re-read from disk.
+        sc = spark.sparkContext
+        if not sc._jsc.sc().getCheckpointDir().isDefined():
+            import tempfile
+
+            sc.setCheckpointDir(
+                tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+            )
+        got = pairs.checkpoint(eager=True)
         _PAIRS_MEMO[key] = got
     return got
 
