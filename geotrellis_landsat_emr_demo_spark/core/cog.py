@@ -41,10 +41,12 @@ from . import tiff
 from .tiff import (
     _COMP_DEFLATE,
     _COMP_DEFLATE_ADOBE,
+    _COMP_JPEG,
     _COMP_LZW,
     _COMP_NONE,
     _COMP_PACKBITS,
     _T_BITS,
+    _T_JPEG_TABLES,
     _T_ROWS_PER_STRIP,
     _T_STRIP_COUNTS,
     _T_STRIP_OFFSETS,
@@ -153,6 +155,9 @@ class CogLevel:
     # still prune to the intersecting strips; column windows necessarily
     # fetch full strip widths (inherent to the layout, not the reader).
     striped: bool = False
+    # comp 7: shared abbreviated-stream tables (TIFF TechNote 2), spliced
+    # into each block before decode; None when blocks are self-contained
+    jpeg_tables: bytes | None = None
 
     @property
     def tiles_across(self) -> int:
@@ -281,7 +286,7 @@ def _parse_chain_buf(data: bytes, reader: RangeReader) -> CogInfo:
         comp = int(ifd.get(_T_COMPRESSION, [1])[0])
         if comp not in (
             _COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_ADOBE,
-            _COMP_PACKBITS, _COMP_LZW,
+            _COMP_PACKBITS, _COMP_LZW, _COMP_JPEG,
         ):
             raise NotImplementedError(f"TIFF compression {comp}")
         w = int(ifd[_T_WIDTH][0])
@@ -307,6 +312,11 @@ def _parse_chain_buf(data: bytes, reader: RangeReader) -> CogInfo:
             comp=comp,
             pred=int(ifd.get(_T_PREDICTOR, [1])[0]),
             striped=striped,
+            jpeg_tables=(
+                bytes(bytearray(int(v) & 0xFF for v in ifd[_T_JPEG_TABLES]))
+                if comp == _COMP_JPEG and _T_JPEG_TABLES in ifd
+                else None
+            ),
         )
         sub = int(ifd.get(_T_SUBFILE, [0])[0])
         levels.append((lv, sub))
@@ -359,6 +369,10 @@ def _coalesce(ranges, gap: int = RANGE_COALESCE_GAP):
 
 
 def _decode_tile(raw: bytes, lv: CogLevel) -> np.ndarray:
+    if lv.comp == _COMP_JPEG:
+        return tiff._jpeg_block(
+            raw, lv.jpeg_tables, lv.tile_w, lv.tile_h, lv.spp
+        ).astype(lv.dtype.newbyteorder("="))
     want = lv.tile_w * lv.tile_h * lv.spp * lv.dtype.itemsize
     if lv.comp in (_COMP_DEFLATE, _COMP_DEFLATE_ADOBE):
         raw = zlib.decompress(raw)
@@ -491,7 +505,9 @@ def _downsample2(img: np.ndarray) -> np.ndarray:
     return acc.astype(img.dtype)
 
 
-def _pack_tiles(img: np.ndarray, tile, comp_code: int, predictor: int):
+def _pack_tiles(
+    img: np.ndarray, tile, comp_code: int, predictor: int, quality: int = 85
+):
     tw, th = tile
     h, w, spp = img.shape
     payloads = []
@@ -500,6 +516,15 @@ def _pack_tiles(img: np.ndarray, tile, comp_code: int, predictor: int):
             blk = np.zeros((th, tw, spp), dtype=img.dtype)
             ys, xs = min(th, h - y0), min(tw, w - x0)
             blk[:ys, :xs] = img[y0 : y0 + ys, x0 : x0 + xs]
+            if comp_code == tiff._COMP_JPEG:
+                from . import jpeg
+
+                payloads.append(
+                    jpeg.encode_gray(blk[:, :, 0], quality=quality)
+                    if spp == 1
+                    else jpeg.encode_rgb(blk, quality=quality)
+                )
+                continue
             if predictor == 2:
                 blk = tiff._apply_predictor(blk)
             raw = blk.tobytes()
@@ -569,6 +594,7 @@ def write_cog(
     predictor: int = 1,
     min_overview: int | None = None,
     bigtiff: bool = False,
+    quality: int = 85,
 ) -> bytes:
     """Array -> COG bytes: tiled levels, IFD chain at the file head,
     tile data coarsest-overview-first.
@@ -577,7 +603,9 @@ def write_cog(
     Overviews halve until the raster fits one tile (or ``min_overview``
     pixels on the long edge).  ``bigtiff``: the 8-byte-offset BigTIFF
     layout (magic 43) — required past 4 GiB, standard for large scene
-    mosaics; the reader auto-detects either flavor."""
+    mosaics; the reader auto-detects either flavor.  ``compression
+    ="jpeg"`` (uint8 gray/RGB only) writes lossy self-contained JPEG
+    tiles at ``quality`` — the common visual-product COG layout."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -587,14 +615,24 @@ def write_cog(
     comp_code = {
         "none": _COMP_NONE, "deflate": _COMP_DEFLATE_ADOBE,
         "packbits": _COMP_PACKBITS, "lzw": _COMP_LZW,
+        "jpeg": tiff._COMP_JPEG,
     }[compression]
+    if comp_code == tiff._COMP_JPEG:
+        if img.dtype != np.uint8 or img.shape[2] not in (1, 3):
+            raise NotImplementedError(
+                "JPEG COG tiles need uint8 gray or RGB samples"
+            )
+        if predictor != 1:
+            raise ValueError("predictor does not apply to JPEG tiles")
     floor = min_overview if min_overview is not None else max(tile)
 
     levels = [img]
     while max(levels[-1].shape[0], levels[-1].shape[1]) > floor:
         levels.append(_downsample2(levels[-1]))
 
-    payloads = [_pack_tiles(lv, tile, comp_code, predictor) for lv in levels]
+    payloads = [
+        _pack_tiles(lv, tile, comp_code, predictor, quality) for lv in levels
+    ]
     fmt = {"u": 1, "i": 2, "f": 3}[img.dtype.kind]
     bits = img.dtype.itemsize * 8
     spp = img.shape[2]

@@ -47,6 +47,7 @@ _TYPES = {
     4: ("I", 4),   # LONG
     5: ("II", 8),  # RATIONAL (2x LONG)
     6: ("b", 1),   # SBYTE
+    7: ("B", 1),   # UNDEFINED (opaque bytes, e.g. JPEGTables)
     8: ("h", 2),   # SSHORT
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
@@ -66,6 +67,8 @@ _T_PIXEL_SCALE, _T_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
 
 _COMP_NONE, _COMP_DEFLATE_ADOBE, _COMP_PACKBITS, _COMP_DEFLATE = 1, 8, 32773, 32946
 _COMP_LZW = 5
+_COMP_JPEG = 7  # "new-style" JPEG-in-TIFF (TIFF TechNote 2)
+_T_JPEG_TABLES = 347
 
 
 # ---------------------------------------------------------------- decoder --
@@ -107,6 +110,39 @@ def _read_ifd(data: bytes, bo: str, off: int, big: bool = False) -> dict:
         out[tag] = np.asarray(struct.unpack_from(bo + letter * cnt, data, voff))
     (nxt,) = struct.unpack_from(bo + off_fmt, data, off + hdr_w + ent_w * n)
     out[-1] = int(nxt)
+    return out
+
+
+def _jpeg_splice_tables(tables: bytes, block: bytes) -> bytes:
+    """TIFF TechNote 2 JPEGTables: a tables-only abbreviated stream
+    (SOI..DQT/DHT..EOI) shared by every block whose own stream omits the
+    tables.  Splice = tables without its EOI + block without its SOI, so
+    the decoder sees one well-formed stream."""
+    if not tables:
+        return block
+    t = tables[:-2] if tables[-2:] == b"\xff\xd9" else tables
+    b = block[2:] if block[:2] == b"\xff\xd8" else block
+    return t + b
+
+
+def _jpeg_block(
+    raw: bytes, tables: bytes | None, bw: int, bh: int, spp: int
+) -> np.ndarray:
+    """Decode one JPEG-compressed block -> (bh, bw, spp) uint8 (padded /
+    cropped to the block grid; the writer pads tiles, foreign files may
+    encode exact edge dims)."""
+    from . import jpeg
+
+    arr = jpeg.decode(_jpeg_splice_tables(tables or b"", raw))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[2] != spp:
+        raise ValueError(
+            f"JPEG block has {arr.shape[2]} samples, IFD says {spp}"
+        )
+    out = np.zeros((bh, bw, spp), dtype=np.uint8)
+    ys, xs = min(bh, arr.shape[0]), min(bw, arr.shape[1])
+    out[:ys, :xs] = arr[:ys, :xs]
     return out
 
 
@@ -284,15 +320,27 @@ def read(data: bytes):
         inflate = _lzw_decode
     elif comp == _COMP_NONE:
         inflate = lambda b, want: b  # noqa: E731
+    elif comp == _COMP_JPEG:
+        if bits != 8:
+            raise NotImplementedError(f"JPEG-in-TIFF at {bits} bits")
+        inflate = None  # decoded straight to pixels in blocks()
     else:
         raise NotImplementedError(
-            f"TIFF compression {comp} (JPEG-in-TIFF etc.: plug a decoder in "
+            f"TIFF compression {comp} (plug a whole-file decoder in "
             "via operators.multimodal.register_decoder)"
         )
+    jpeg_tables = (
+        bytes(bytearray(int(v) & 0xFF for v in ifd[_T_JPEG_TABLES]))
+        if comp == _COMP_JPEG and _T_JPEG_TABLES in ifd
+        else None
+    )
 
     def blocks(offsets, counts, bw, bh):
         for off, cnt in zip(offsets, counts):
             raw = bytes(data[int(off) : int(off) + int(cnt)])
+            if comp == _COMP_JPEG:
+                yield _jpeg_block(raw, jpeg_tables, bw, bh, spp)
+                continue
             want = bw * bh * spp * dtype.itemsize
             raw = inflate(raw, want)
             arr = np.frombuffer(raw, dtype=dtype, count=min(len(raw) // dtype.itemsize, bw * bh * spp))
@@ -395,11 +443,14 @@ def encode(
     tile: tuple[int, int] = (256, 256),
     predictor: int = 1,
     geo: dict | None = None,
+    quality: int = 85,
 ) -> bytes:
     """Array -> little-endian TIFF bytes.
 
     ``img``: (h, w) or (h, w, 3), dtype uint8/uint16/int16/int32/float32.
-    ``compression``: "none" | "deflate" | "packbits".
+    ``compression``: "none" | "deflate" | "packbits" | "lzw" | "jpeg"
+    (lossy, uint8 gray/RGB only, ``quality`` applies; blocks are
+    self-contained streams — legal per TIFF TechNote 2, no JPEGTables).
     ``geo``: optional {"pixel_scale": (sx, sy[, sz]), "tiepoint":
     (i, j, k, x, y, z), "epsg": int, "projected": bool} -> GeoTIFF tags.
     """
@@ -416,9 +467,23 @@ def encode(
     comp_code = {
         "none": _COMP_NONE, "deflate": _COMP_DEFLATE_ADOBE,
         "packbits": _COMP_PACKBITS, "lzw": _COMP_LZW,
+        "jpeg": _COMP_JPEG,
     }[compression]
+    if comp_code == _COMP_JPEG:
+        if img.dtype != np.uint8 or spp not in (1, 3):
+            raise NotImplementedError(
+                "JPEG-in-TIFF needs uint8 gray or RGB samples"
+            )
+        if predictor != 1:
+            raise ValueError("predictor does not apply to JPEG blocks")
 
     def pack(block: np.ndarray) -> bytes:
+        if comp_code == _COMP_JPEG:
+            from . import jpeg
+
+            if spp == 1:
+                return jpeg.encode_gray(block[:, :, 0], quality=quality)
+            return jpeg.encode_rgb(block, quality=quality)
         if predictor == 2:
             block = _apply_predictor(block)
         raw = block.tobytes()

@@ -168,6 +168,95 @@ def test_striped_tiff_window_by_extent():
     assert np.array_equal(arr, img[y0 : y0 + arr.shape[0], x0 : x0 + arr.shape[1]])
 
 
+# ------------------------------------------------------- JPEG-in-TIFF (7) --
+
+
+def _smooth(h, w, bands=1):
+    """JPEG-friendly smooth field (random noise defeats DCT coding)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = np.stack(
+        [
+            128 + 100 * np.sin(xx / (31.0 + 7 * b)) * np.cos(yy / (47.0 + 5 * b))
+            for b in range(bands)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return out[..., 0] if bands == 1 else out
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("bands", [1, 3])
+def test_jpeg_cog_roundtrip_and_window(bands):
+    """compression=7: lossy uint8 tiles through the in-repo JPEG codec.
+    Whole-file read passes a PSNR gate; a window equals the full-read
+    crop EXACTLY (same tile decodes either way)."""
+    img = _smooth(600, 800, bands)
+    data = cog.write_cog(
+        img, geo=GEO, tile=(256, 256), compression="jpeg", quality=90
+    )
+    full, meta = tiff.read(data)
+    assert meta["compression"] == 7 and meta["epsg"] == 32617
+    assert _psnr(full, img) >= 32.0
+    cr = cog.open_cog(data)
+    w = cr.window(0, 37, 53, 211, 145)
+    assert np.array_equal(w, full[53:198, 37:248])
+    # overview levels decode too (lossy cascade, sane values)
+    ref = cog._downsample2(img[:, :, None] if bands == 1 else img)
+    ref = ref[..., 0] if bands == 1 else ref
+    lv1 = cr.window(1, 0, 0, 400, 300)
+    assert _psnr(lv1, ref[:300, :400]) >= 28.0
+    # and JPEG buys real compression on smooth content
+    assert len(data) < 0.35 * img.nbytes
+
+
+def test_jpeg_striped_tiff_read():
+    img = _smooth(300, 400)
+    data = tiff.encode(
+        img, tiled=False, rows_per_strip=64, compression="jpeg", quality=90
+    )
+    arr, meta = tiff.read(data)
+    assert meta["compression"] == 7
+    assert _psnr(arr, img) >= 32.0
+
+
+def test_jpeg_tiff_rejects_wrong_dtype():
+    with pytest.raises(NotImplementedError, match="uint8"):
+        cog.write_cog(_img(64, 64, "u2"), geo=GEO, compression="jpeg")
+    with pytest.raises(NotImplementedError, match="uint8"):
+        tiff.encode(_img(64, 64, "u2"), compression="jpeg")
+
+
+def test_jpeg_tables_splice_decodes_abbreviated_streams():
+    """TIFF TechNote 2 JPEGTables: tables live in ONE shared stream;
+    per-block streams omit them.  Manufacture the split from a full
+    stream and check the splice decodes identically."""
+    import struct
+
+    from geotrellis_landsat_emr_demo_spark.core import jpeg
+
+    stream = jpeg.encode_gray(_smooth(96, 128), quality=80)
+    pos, tables, rest = 2, [], []
+    while pos < len(stream):
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data + EOI stay with the block
+            rest.append(stream[pos:])
+            break
+        (ln,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + ln]
+        (tables if marker in (0xDB, 0xC4) else rest).append(seg)
+        pos += 2 + ln
+    tables_stream = b"\xff\xd8" + b"".join(tables) + b"\xff\xd9"
+    block_stream = b"\xff\xd8" + b"".join(rest)
+    with pytest.raises(Exception):
+        jpeg.decode(block_stream)  # tables really are absent
+    got = tiff._jpeg_block(block_stream, tables_stream, 128, 96, 1)
+    assert np.array_equal(got[:, :, 0], jpeg.decode(stream))
+
+
 # ------------------------------------------------------------ spark source --
 
 

@@ -96,18 +96,24 @@ def test_geotiff_tags_roundtrip():
 
 def test_unsupported_variants_raise():
     img = _img(h=8, w=8, dtype=np.uint8)
-    data = bytearray(tiff.encode_gray(img, compression="none"))
-    # rewrite the Compression tag value to JPEG-in-TIFF (7): tag 259
     import struct
 
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
-    (n,) = struct.unpack_from("<H", data, ifd_off)
-    for i in range(n):
-        tag = struct.unpack_from("<H", data, ifd_off + 2 + 12 * i)[0]
-        if tag == 259:
-            struct.pack_into("<H", data, ifd_off + 2 + 12 * i + 8, 7)
-    with pytest.raises(NotImplementedError, match="compression 7"):
-        tiff.decode(bytes(data))
+    def with_comp(code: int) -> bytes:
+        data = bytearray(tiff.encode_gray(img, compression="none"))
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+        (n,) = struct.unpack_from("<H", data, ifd_off)
+        for i in range(n):
+            tag = struct.unpack_from("<H", data, ifd_off + 2 + 12 * i)[0]
+            if tag == 259:
+                struct.pack_into("<H", data, ifd_off + 2 + 12 * i + 8, code)
+        return bytes(data)
+
+    # CCITT G4 (4) stays unsupported (JPEG 7 is handled since r5)
+    with pytest.raises(NotImplementedError, match="compression 4"):
+        tiff.decode(with_comp(4))
+    # comp 7 whose payload is not a JPEG stream: decoder rejects it
+    with pytest.raises(ValueError, match="JPEG|SOI|marker"):
+        tiff.decode(with_comp(7))
     with pytest.raises(ValueError, match="TIFF"):
         tiff.decode(b"\x89PNG\r\n")
     # BigTIFF with a non-8 offset size is the (rare) unsupported corner
