@@ -132,10 +132,8 @@ def skew_merge_bench(spark, hot_scenes: int = 96, px: int = 256) -> dict:
     hot["image_id"] = [f"hot-{i:04d}" for i in range(hot_scenes)]
     pdf = pd.concat([base, hot], ignore_index=True)
     out = {"hot_scenes": hot_scenes}
-    # combiner vs FORCED 4-bucket salting: at local-bench scale the
-    # combiner caps per-key fan-in at one partial per task, so auto
-    # correctly picks 1 bucket (reported below) — the forced row measures
-    # what auto avoided
+    # combiner-only vs salted (auto rule: B ~ sqrt(post-combiner fan-in)
+    # once it reaches _SALT_TARGET; at this corpus eff=32 -> salted)
     for label, salt in (("combiner_s", 1), ("salted4_s", 4)):
         root = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"skew-{label}"

@@ -349,23 +349,25 @@ def test_export_tiles_static_tree(spark, tsmall_catalog, svc):
 
 def test_auto_salt_buckets_heuristic(spark):
     """salt_buckets='auto': the combiner caps per-key fan-in at one
-    partial per task, so uniform corpora and par-bounded hot cells pick
-    1 bucket; only post-combiner fan-in beyond 4x the salt target
-    triggers salting, sized to ~_SALT_TARGET partials per salt."""
+    partial per task; once the POST-COMBINER fan-in min(hot, par)
+    reaches _SALT_TARGET, salting splits it across ~sqrt(eff) buckets
+    (critical path eff/B + B; measured flat within 2x of the optimum)."""
     pdf = fixtures.images_pdf("t-small")
     df = spark.createDataFrame(pdf)
-    # uniform coverage, par 32: hot <= par, eff <= 4*32 -> 1
+    # uniform coverage, par 32: hot cells have only a handful of
+    # contributors -> eff < _SALT_TARGET -> combiner only
     assert ingest._auto_salt_buckets(df, 13, 32) == 1
-    # a 4000-wide cluster with a 9000-contributor hot cell: eff = 4000,
-    # buckets = ceil(4000/32) = 125
     import pandas as pd
 
     hot = pdf.iloc[[0] * 300].copy().reset_index(drop=True)
     hot["image_id"] = [f"h{i}" for i in range(len(hot))]
     big = spark.createDataFrame(pd.concat([pdf, hot], ignore_index=True))
-    assert ingest._auto_salt_buckets(big, 13, 4000) == -(-min(300 + 1, 4000) // 32)
-    # same hot corpus at par=32: combiner cap -> eff=32 -> stays 1
-    assert ingest._auto_salt_buckets(big, 13, 32) == 1
+    # a 4000-wide cluster with a ~300-contributor hot cell: eff = 301,
+    # buckets = round(sqrt(301)) = 17
+    assert ingest._auto_salt_buckets(big, 13, 4000) == round(301**0.5)
+    # same hot corpus at par=32: combiner cap -> eff=32 >= target ->
+    # sqrt sizing (the interleaved A/B in BENCH/BASELINE.md round 5)
+    assert ingest._auto_salt_buckets(big, 13, 32) == round(32**0.5)
     # end-to-end: salt_buckets="auto" resolves and ingests
     root = os.path.join(SCRATCH, "autosalt")
     shutil.rmtree(root, ignore_errors=True)
