@@ -115,12 +115,19 @@ def ingest_bench(spark, scenes: int = 24, px: int = 512) -> dict:
     )
 
 
-def skew_merge_bench(spark, hot_scenes: int = 96, px: int = 256) -> dict:
+def skew_merge_bench(spark, hot_scenes: int = 96, px: int = 256, reps: int = 3) -> dict:
     """Forced-skew merge row: 8 spread scenes + ``hot_scenes`` stacked on
     ONE footprint/timestamp (a hot cell with ~100 overlapping
     contributors), leaf stage only, combiner-only vs auto-salted —
     exercises the salt_buckets path the equivalence tests prove but the
-    headline ingest (uniform coverage) never stresses."""
+    headline ingest (uniform coverage) never stresses.
+
+    Decision-grade per the repo's own protocol (BENCH/BASELINE.md §r05):
+    ``reps`` INTERLEAVED samples per config (combiner, salted, combiner,
+    salted, ...) with per-rep walls + the median — single samples flip
+    run-to-run on this shared box."""
+    import statistics
+
     import pandas as pd
 
     from geotrellis_landsat_emr_demo_spark import fixtures
@@ -131,23 +138,31 @@ def skew_merge_bench(spark, hot_scenes: int = 96, px: int = 256) -> dict:
     hot = base.iloc[[0] * hot_scenes].copy().reset_index(drop=True)
     hot["image_id"] = [f"hot-{i:04d}" for i in range(hot_scenes)]
     pdf = pd.concat([base, hot], ignore_index=True)
-    out = {"hot_scenes": hot_scenes}
+    out = {"hot_scenes": hot_scenes, "reps": reps}
     # combiner-only vs salted (auto rule: B ~ sqrt(post-combiner fan-in)
     # once it reaches _SALT_TARGET; at this corpus eff=32 -> salted)
-    for label, salt in (("combiner_s", 1), ("salted4_s", 4)):
-        root = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"skew-{label}"
-        )
-        shutil.rmtree(root, ignore_errors=True)
-        cat = Catalog(root)
-        cat.append_pandas(pdf, "images")
-        t0 = time.time()
-        m = ingest.ingest_images(
-            spark, cat, "skew", max_zoom=13, min_zoom=13, salt_buckets=salt
-        )
-        out[label] = round(time.time() - t0, 3)
-        out.setdefault("tiles", sum(v.get("rows", 0) for v in m.values()))
-        shutil.rmtree(root, ignore_errors=True)
+    configs = (("combiner", 1), ("salted4", 4))
+    walls = {label: [] for label, _ in configs}
+    for rep in range(reps):
+        for label, salt in configs:  # interleave within each rep
+            root = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".bench_data",
+                f"skew-{label}",
+            )
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            cat.append_pandas(pdf, "images")
+            t0 = time.time()
+            m = ingest.ingest_images(
+                spark, cat, "skew", max_zoom=13, min_zoom=13, salt_buckets=salt
+            )
+            walls[label].append(round(time.time() - t0, 3))
+            out.setdefault("tiles", sum(v.get("rows", 0) for v in m.values()))
+            shutil.rmtree(root, ignore_errors=True)
+    for label, _ in configs:
+        out[f"{label}_reps_s"] = walls[label]
+        out[f"{label}_s"] = round(statistics.median(walls[label]), 3)
     out["auto_buckets"] = ingest._auto_salt_buckets(
         spark.createDataFrame(pdf), 13, spark.sparkContext.defaultParallelism
     )
@@ -340,18 +355,33 @@ def main():
     except ValueError:
         sf = SF_DIR
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extras": extras,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extras": extras,
+    }
+    # Full result (with every extras table) goes to a FILE; stdout gets a
+    # compact single line.  Round 5's stdout JSON outgrew the driver's
+    # tail capture and BENCH_r05.json recorded `parsed: null`, losing the
+    # warm headline numbers — the artifact channel must never depend on
+    # extras growth (VERDICT r5 task 2).
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
     )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+    ing = extras.get("ingest", {})
+    slim = dict(full)
+    slim["extras"] = {
+        "ingest_tiles_per_sec": ing.get("tiles_per_sec"),
+        "renders_per_sec": ing.get("renders_per_sec"),
+        "full_results": "BENCH/last_run.json",
+    }
+    print(json.dumps(slim))
     spark.stop()
 
 

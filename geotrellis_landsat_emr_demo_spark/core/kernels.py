@@ -93,6 +93,13 @@ def decode_payload(data: bytes) -> np.ndarray:
             arr = arr.transpose(2, 0, 1)
         else:
             arr = arr[None, :, :]
+        # int16/int32/float samples are valid TIFF; saturate (round floats
+        # first) instead of wrapping mod 65536 — matches sources/cog.py's
+        # clip on the same cast so both ingest routes agree.
+        if arr.dtype != np.uint16:
+            if np.issubdtype(arr.dtype, np.floating):
+                arr = np.rint(arr)
+            arr = np.clip(arr, 0, 65535)
         return np.ascontiguousarray(arr).astype(np.uint16, copy=False)
     if data[:2] == b"\xff\xd8":  # baseline JPEG container
         from . import jpeg
@@ -102,6 +109,8 @@ def decode_payload(data: bytes) -> np.ndarray:
             arr = arr.transpose(2, 0, 1)
         else:
             arr = arr[None, :, :]
+        if arr.dtype != np.uint16:
+            arr = np.clip(arr, 0, 65535)
         return np.ascontiguousarray(arr).astype(np.uint16, copy=False)
     magic, _ver, code, nb, h, w = _HDR.unpack_from(data)
     assert magic == _MAGIC, "bad payload magic"

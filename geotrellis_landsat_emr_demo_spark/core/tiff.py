@@ -91,7 +91,11 @@ def _read_ifd(data: bytes, bo: str, off: int, big: bool = False) -> dict:
             continue  # unknown type: skip per TIFF 6.0 guidance
         letter, size = _TYPES[typ]
         cnt = int(cnt)
-        nbytes = size * cnt * (2 if typ == 5 else 1)
+        # _TYPES size is the FULL element size (RATIONAL's 8 covers both
+        # LONGs) — an extra ×2 here made a count-1 BigTIFF RATIONAL (8
+        # bytes, legitimately inline) look external and dereferenced its
+        # value as an offset.
+        nbytes = size * cnt
         voff = off + hdr_w + ent_w * i + (ent_w - inline)
         if nbytes > inline:
             (voff,) = struct.unpack_from(bo + off_fmt, data, voff)
@@ -174,9 +178,12 @@ def _lzw_decode(src: bytes, expect: int) -> bytes:
     acc = nbits = 0
     prev = b""
     out = bytearray()
+    total_bits = 8 * len(src)
+    bits_done = 0
     for byte in src:
         acc = (acc << 8) | byte
         nbits += 8
+        bits_done += 8
         while nbits >= width:
             nbits -= width
             code = (acc >> nbits) & ((1 << width) - 1)
@@ -186,6 +193,15 @@ def _lzw_decode(src: bytes, expect: int) -> bytes:
                 prev = b""
                 continue
             if code == EOI:
+                return bytes(out[:expect])
+            # Early-change off-by-one at stream end: the encoder's final
+            # flush code adds no table entry, so when the decoder's table
+            # hits the bump threshold exactly on that last data code the
+            # decoder widens but the encoder doesn't — its EOI arrives at
+            # the PRE-bump width.  If the top width-1 bits here spell EOI
+            # and nothing but byte padding can follow (a real EOI would
+            # need >= 9 more bits), this IS the end of the stream.
+            if (code >> 1) == EOI and (total_bits - bits_done) + nbits + 1 < 8:
                 return bytes(out[:expect])
             if code < len(table):
                 entry = table[code]

@@ -28,6 +28,8 @@ Plan shape (100 TB):
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -47,7 +49,7 @@ SCENES_SCHEMA = (
     "image_id string, bytes binary, w int, h int, nbands int, fmt string, "
     "caption string, ts timestamp, ts_millis long, xmin double, "
     "ymin double, xmax double, ymax double, crs string, level int, "
-    "bytes_read long, file_bytes long"
+    "bytes_read long, file_bytes long, path string"
 )
 
 
@@ -215,6 +217,7 @@ def cog_scenes(
                         xmax=actual[2], ymax=actual[3],
                         crs=info.crs, level=level,
                         bytes_read=rd.bytes_read, file_bytes=rd.size(),
+                        path=path,
                     )
                 )
             yield pd.DataFrame(
@@ -273,17 +276,31 @@ def cog_sync(
     n_new = new.count()
     if n_new == 0:
         return {"new_files": 0}
+    # One pass over the archive: spool the windowed scene rows (WITH their
+    # source path) to a temp parquet, then project images + lineage from
+    # the spool.  Lineage records ONLY paths that produced scene rows —
+    # a file this pass skipped (AOI miss, foreign layout, no geo) must
+    # stay unseen so a later pass with a different/no AOI can ingest it
+    # (silent-omission fix; an AOI-missed file costs one header re-probe
+    # per pass, never a pixel read).
     scenes = cog_scenes(spark, new, aoi=aoi, resolution=resolution, fmt=fmt)
-    images_rows = scenes.select(
-        "image_id", "bytes", "w", "h", "fmt", "caption",
-        F.xxhash64("bytes").alias("phash"),
-        "ts", "ts_millis", "xmin", "ymin", "xmax", "ymax", "crs", "nbands",
-        F.lit(None).cast("double").alias("cloud_cover"),
-    )
-    files = cat.stage_spark_write(images_rows, "images")
-    seen_adds = cat.stage_spark_write(
-        new.select(F.lit(layer).alias("layer"), "path"), "cog_seen"
-    )
+    spool = os.path.join(cat.root, f"_cogsync-{uuid.uuid4().hex}")
+    try:
+        scenes.write.parquet(spool)
+        scenes = spark.read.parquet(spool)
+        images_rows = scenes.select(
+            "image_id", "bytes", "w", "h", "fmt", "caption",
+            F.xxhash64("bytes").alias("phash"),
+            "ts", "ts_millis", "xmin", "ymin", "xmax", "ymax", "crs", "nbands",
+            F.lit(None).cast("double").alias("cloud_cover"),
+        )
+        files = cat.stage_spark_write(images_rows, "images")
+        seen_adds = cat.stage_spark_write(
+            scenes.select(F.lit(layer).alias("layer"), "path").distinct(),
+            "cog_seen",
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
     cat.commit({"images": files, "cog_seen": seen_adds})
     out = incremental_ingest(
         spark, cat, layer, max_zoom=max_zoom, store_fmt=store_fmt

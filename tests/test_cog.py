@@ -519,3 +519,31 @@ def test_bigtiff_roundtrip_and_window():
     assert np.array_equal(
         w1, cog._downsample2(img[:, :, None])[10:74, 10:74, 0]
     )
+
+
+def test_cog_sync_aoi_miss_not_marked_seen(spark, cog_dir, tmp_path):
+    """A file skipped by one pass's AOI must NOT enter cog_seen lineage:
+    a later pass with a different/no AOI still ingests it (silent-
+    omission fix — lineage records only paths that produced scene rows)."""
+    from geotrellis_landsat_emr_demo_spark.catalog import Catalog
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    cat = Catalog(str(tmp_path / "sync-aoi-cat"))
+    paths = sorted(glob.glob(os.path.join(cog_dir, "*.tif")))[:2]
+    far = (10_000_000.0, 10_000_000.0, 10_000_100.0, 10_000_100.0)
+    m1 = cogsrc.cog_sync(spark, cat, "sync", paths, max_zoom=12, aoi=far)
+    # both files discovered-new, zero scenes produced, zero marked seen
+    assert m1["new_files"] == 2
+    assert m1.get("new_images", 0) == 0
+    try:
+        seen = cat.read_pandas("cog_seen")
+        assert len(seen[seen.layer == "sync"]) == 0
+    except FileNotFoundError:
+        pass  # no lineage rows at all is equally correct
+    # pass 2, no AOI: the same files are NOT silently omitted
+    m2 = cogsrc.cog_sync(spark, cat, "sync", paths, max_zoom=12)
+    assert m2["new_files"] == 2 and m2["new_images"] == 2
+    # pass 3: now they are seen
+    assert cogsrc.cog_sync(spark, cat, "sync", paths, max_zoom=12) == {
+        "new_files": 0
+    }

@@ -232,3 +232,62 @@ def test_lzw_width_boundary_exact():
     raw = bytes(bytearray((i % 256, (i * 7 + 3) % 256))[j] for i in range(400) for j in range(2))
     enc = tiff._lzw_encode(raw)
     assert tiff._lzw_decode(enc, len(raw)) == raw
+
+
+def test_lzw_overestimated_expect_at_bump_boundary():
+    """Encoder's final flush adds no table entry, so a stream whose LAST
+    data code lands the decoder exactly on the early-change threshold
+    leaves the decoder one width ahead of the encoder's trailing EOI.
+    With an exact ``expect`` the decoder returns early and never sees it;
+    with an OVERESTIMATED expect (cog.CogLevel's short unpadded final
+    strips) it must still stop cleanly at the misaligned EOI, not raise
+    'corrupt LZW stream'."""
+    # n=253 distinct bytes -> decoder table hits 510 (bump to 10 bits) on
+    # the last data code; encoder next_code stays 510 (no bump), EOI at 9.
+    for n in range(245, 262):  # straddle the boundary on both sides
+        raw = bytes(i % 256 for i in range(n))
+        enc = tiff._lzw_encode(raw)
+        got = tiff._lzw_decode(enc, n + 1000)  # overestimated expect
+        assert got == raw, f"n={n}"
+
+
+def test_bigtiff_inline_rational_tag():
+    """BigTIFF count-1 RATIONAL (8 bytes) is legitimately INLINE; the
+    old RATIONAL-size double-count treated it as external and
+    dereferenced the value as an offset (struct.error on a valid file)."""
+    import struct
+
+    # hand-built BigTIFF IFD: one entry, tag=282 (XResolution) typ=5
+    # cnt=1, value (300, 1) packed INLINE in the 8-byte slot
+    ifd = (
+        struct.pack("<Q", 1)
+        + struct.pack("<HHQII", 282, 5, 1, 300, 1)
+        + struct.pack("<Q", 0)
+    )
+    out = tiff._read_ifd(ifd, "<", 0, big=True)
+    assert out[282][0] == pytest.approx(300.0)
+    # classic TIFF: the same tag must still resolve EXTERNALLY (8 > 4
+    # inline bytes) — guard against over-correcting the size fix
+    ifd_c = (
+        struct.pack("<H", 1)
+        + struct.pack("<HHII", 282, 5, 1, 18)  # offset 18 -> payload below
+        + struct.pack("<I", 0)
+        + struct.pack("<II", 72, 1)
+    )
+    out_c = tiff._read_ifd(ifd_c, "<", 0, big=False)
+    assert out_c[282][0] == pytest.approx(72.0)
+
+
+def test_decode_payload_clips_wide_tiff_samples():
+    """int16/int32/float GeoTIFF samples saturate at [0, 65535] through
+    decode_payload — matching sources/cog.py's clip on the same cast —
+    instead of wrapping mod 65536 (negative -> huge positive)."""
+    from geotrellis_landsat_emr_demo_spark.core import kernels
+
+    si = (_img(dtype=np.uint16, seed=4).astype(np.int32) - 20_000).astype(np.int16)
+    got = kernels.decode_payload(tiff.encode_gray(si))
+    assert got.dtype == np.uint16
+    assert (got == np.clip(si, 0, 65535).astype(np.uint16)).all()
+    fl = np.linspace(-10.0, 70_000.0, 37 * 53, dtype=np.float32).reshape(37, 53)
+    got = kernels.decode_payload(tiff.encode_gray(fl))
+    assert (got == np.clip(np.rint(fl), 0, 65535).astype(np.uint16)).all()
