@@ -1970,6 +1970,96 @@ def sql_cog_window_scan():
     """
 
 
+def _cog_entry_expected_overview():
+    """Golden rows for the OVERVIEW read path, computed codec-free: a
+    plain-numpy 2x2 float64-mean + rint downsample of each fixture array
+    (the GDAL-AVERAGE arithmetic write_cog stores losslessly under
+    deflate), then the same window snapping as level 0 — at the level-1
+    grid.  Any bug in overview tile layout, the reduced-resolution IFD
+    chain, level selection, or window snapping at level > 0 breaks the
+    match."""
+    import math as _math
+
+    import numpy as np
+
+    from geotrellis_landsat_emr_demo_spark import fixtures
+
+    aoi = _cog_entry_aoi()
+    half = COG_PX // 2
+    out = []
+    for spec in fixtures.scene_specs("t-small", n_scenes=N_COG_SCENES, px=COG_PX):
+        fx0, fy0, fx1, fy1 = (
+            spec["xmin"], spec["ymin"], spec["xmax"], spec["ymax"],
+        )
+        px = (fx1 - fx0) / half
+        py = (fy1 - fy0) / half
+        x0 = int(_math.floor((max(aoi[0], fx0) - fx0) / px))
+        x1 = min(int(_math.ceil((min(aoi[2], fx1) - fx0) / px)), half)
+        y0 = int(_math.floor((fy1 - min(aoi[3], fy1)) / py))
+        y1 = min(int(_math.ceil((fy1 - max(aoi[1], fy0)) / py)), half)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        arr = fixtures.scene_array(spec)  # (bands, COG_PX, COG_PX)
+        nb = arr.shape[0]
+        ds = np.rint(
+            arr.reshape(nb, half, 2, half, 2).astype(np.float64).mean(axis=(2, 4))
+        ).astype(np.uint16)
+        win = ds[:, y0:y1, x0:x1]
+        out.append(
+            dict(
+                image_id=spec["image_id"], w=x1 - x0, h=y1 - y0, level=1,
+                px_sum=int(win.sum(dtype=np.int64)),
+            )
+        )
+    return out
+
+
+def q_cog_overview_scan(spark, sf_dir):
+    """COG overview read path (SURVEY §2.1 S11; core/cog.py reduced-
+    resolution IFD chain): the same AOI scan as cog_window_scan but with
+    a coarse ``resolution`` request, so every file serves the window
+    from its level-1 overview — the layout that lets a low-zoom query
+    over a 100 TB archive fetch kilobytes per file.  Oracle: golden
+    constants from a codec-free numpy downsample of the fixtures."""
+    import numpy as np
+    import pandas as pd
+
+    from geotrellis_landsat_emr_demo_spark.core import kernels
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    rows = cogsrc.cog_scenes(
+        spark, _cog_entry_archive(), aoi=_cog_entry_aoi(), resolution=1e9
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "w", "h", "level", "px_sum")}
+            for r in pdf.itertuples(index=False):
+                arr = kernels.decode_payload(bytes(r.bytes))
+                out["image_id"].append(r.image_id)
+                out["w"].append(r.w)
+                out["h"].append(r.h)
+                out["level"].append(r.level)
+                out["px_sum"].append(int(arr.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return rows.mapInPandas(
+        fn, "image_id string, w int, h int, level int, px_sum long"
+    )
+
+
+def sql_cog_overview_scan():
+    vals = ", ".join(
+        "('%s', %d, %d, %d, %d)" % (r["image_id"], r["w"], r["h"], r["level"], r["px_sum"])
+        for r in _cog_entry_expected_overview()
+    )
+    return f"""
+        SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+               CAST(level AS INT) AS level, CAST(px_sum AS BIGINT) AS px_sum
+        FROM (VALUES {vals}) AS t(image_id, w, h, level, px_sum)
+    """
+
+
 # --------------------------------------------------------------------------
 
 
@@ -2028,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "cog_window_scan": q_cog_window_scan,
+        "cog_overview_scan": q_cog_overview_scan,
     }
 
 
@@ -2080,4 +2171,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_near_dups": sql_embedding_lsh_near_dups(),
         "embedding_ivf_topk": sql_embedding_ivf_topk(),
         "cog_window_scan": sql_cog_window_scan(),
+        "cog_overview_scan": sql_cog_overview_scan(),
     }

@@ -547,3 +547,20 @@ def test_cog_sync_aoi_miss_not_marked_seen(spark, cog_dir, tmp_path):
     assert cogsrc.cog_sync(spark, cat, "sync", paths, max_zoom=12) == {
         "new_files": 0
     }
+
+
+def test_cog_overview_entry_matches_golden(spark):
+    """48th oracle entry: the level-1 overview read equals the codec-free
+    numpy downsample golden for every archive scene."""
+    import __spark_entry__ as entry
+
+    got = {
+        r.image_id: (r.w, r.h, r.level, r.px_sum)
+        for r in entry.q_cog_overview_scan(spark, "unused").collect()
+    }
+    want = {
+        r["image_id"]: (r["w"], r["h"], r["level"], r["px_sum"])
+        for r in entry._cog_entry_expected_overview()
+    }
+    assert got == want and len(got) == entry.N_COG_SCENES
+    assert all(v[2] == 1 for v in got.values())  # every read hit level 1
