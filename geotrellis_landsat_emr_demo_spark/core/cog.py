@@ -135,6 +135,142 @@ class BytesRangeReader(RangeReader):
         return len(self._data)
 
 
+class HttpRangeReader(RangeReader):
+    """``GET Range`` over HTTP(S) via stdlib urllib — the object-store
+    front door (S3/GCS/Azure presigned URLs and plain HTTP mirrors all
+    expose these semantics; the reference reads scenes from S3,
+    ingest/.../LandsatInput.scala:23-27).
+
+    Cost model differs from a local file in two ways this reader owns:
+
+    - **every request pays a round trip** — ``size()`` is learned from
+      the FIRST ranged GET's ``Content-Range`` total (no separate HEAD),
+      and that same response body is cached so :func:`parse_chain`'s
+      immediately-following prefix read costs zero extra requests: one
+      HTTP request per well-formed COG header, total;
+    - **the coalescing gap is latency-priced** — fetching a hole is
+      cheaper than a new round trip up to ``latency x bandwidth`` bytes,
+      so :attr:`coalesce_gap` adapts from EWMAs of both, clamped to
+      [RANGE_COALESCE_GAP, 8 MiB].  A same-DC object store (~1 ms, ~100
+      MB/s per stream) prices to ~100 KiB; cross-region (~60 ms) to the
+      8 MiB cap.
+
+    Transient failures (5xx, connection resets, short bodies) retry with
+    exponential backoff.  Servers that ignore ``Range`` (200 with the
+    full body) are handled by slicing.  ``http_requests`` /
+    ``transport_bytes`` count the wire cost separately from the logical
+    ``requests`` / ``bytes_read`` accounting shared with every backend.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        retries: int = 4,
+        backoff_s: float = 0.1,
+        timeout_s: float = 30.0,
+        prefetch: int | None = None,
+    ):
+        super().__init__()
+        self.url = url
+        self.retries = retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+        self._prefetch_len = _HEADER_GUESS if prefetch is None else prefetch
+        self._n: int | None = None
+        self._head: bytes | None = None  # body of the size-learning GET
+        self.http_requests = 0
+        self.transport_bytes = 0
+        self._lat_ewma: float | None = None  # seconds/request
+        self._bw_ewma: float | None = None  # bytes/second
+
+    # -- transport ---------------------------------------------------
+
+    def _fetch(self, off: int, length: int) -> tuple[bytes, int | None]:
+        """One ranged GET with retries -> (body, total_size_or_None)."""
+        import time
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url, headers={"Range": f"bytes={off}-{off + length - 1}"}
+        )
+        last_err: Exception | None = None
+        for attempt in range(self.retries + 1):
+            try:
+                t0 = time.monotonic()
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    body = resp.read()
+                    status = resp.status
+                    crange = resp.headers.get("Content-Range", "")
+                dt = max(1e-6, time.monotonic() - t0)
+                self.http_requests += 1
+                self.transport_bytes += len(body)
+                a = 0.3  # EWMA weight: adapt fast, forget noise
+                self._lat_ewma = (
+                    dt if self._lat_ewma is None
+                    else (1 - a) * self._lat_ewma + a * dt
+                )
+                bw = len(body) / dt
+                self._bw_ewma = (
+                    bw if self._bw_ewma is None
+                    else (1 - a) * self._bw_ewma + a * bw
+                )
+                total = None
+                if "/" in crange:
+                    tail = crange.rsplit("/", 1)[1]
+                    if tail.isdigit():
+                        total = int(tail)
+                if status == 200:  # server ignored Range: slice full body
+                    return body[off : off + length], len(body)
+                return body, total
+            except urllib.error.HTTPError as e:
+                if e.code in (404, 403, 416):
+                    raise  # permanent: no retry
+                last_err = e
+            except Exception as e:  # URLError, resets, short reads
+                last_err = e
+            if attempt < self.retries:
+                time.sleep(self.backoff_s * (2**attempt))
+        raise OSError(f"GET {self.url} failed after {self.retries + 1} tries: {last_err}")
+
+    @property
+    def coalesce_gap(self) -> int:
+        if self._lat_ewma is None or self._bw_ewma is None:
+            return RANGE_COALESCE_GAP
+        gap = int(self._lat_ewma * self._bw_ewma)
+        return max(RANGE_COALESCE_GAP, min(gap, 8 << 20))
+
+    # -- RangeReader interface ----------------------------------------
+
+    def _ensure_head(self):
+        if self._n is None:
+            body, total = self._fetch(0, self._prefetch_len)
+            self._head = body
+            self._n = total if total is not None else len(body)
+
+    def _size(self) -> int:
+        self._ensure_head()
+        return int(self._n)
+
+    def _read(self, off: int, length: int) -> bytes:
+        self._ensure_head()
+        head = self._head or b""
+        if off + length <= len(head):  # parse_chain prefix: already here
+            return head[off : off + length]
+        body, _ = self._fetch(off, length)
+        return body
+
+
+def open_range_reader(path: str) -> RangeReader:
+    """Path/URL -> the right reader: ``http(s)://`` gets the GET-Range
+    adapter, anything else the local-file reader.  The single dispatch
+    point the Spark sources go through, so an archive of URLs and an
+    archive of paths are the same DataFrame."""
+    if path.startswith(("http://", "https://")):
+        return HttpRangeReader(path)
+    return FileRangeReader(path)
+
+
 # -------------------------------------------------------------- parsing --
 
 
@@ -422,7 +558,8 @@ class CogReader:
                 idx = ty * ntx + tx
                 wanted[idx] = (int(lv.offsets[idx]), int(lv.counts[idx]))
         fetched = {}
-        for off, cnt in _coalesce(list(wanted.values())):
+        gap = getattr(self.reader, "coalesce_gap", RANGE_COALESCE_GAP)
+        for off, cnt in _coalesce(list(wanted.values()), gap=gap):
             if off + cnt <= len(self.prefix):
                 fetched[off] = self.prefix[off : off + cnt]
             else:

@@ -10,9 +10,11 @@ crop into the read, so each task costs
 
 per file, proportional to the AOI, not the archive.  This module is the
 Spark half: a slim ``paths`` relation is distributed, every executor
-opens its files through the :class:`core.cog.RangeReader` seam (local
-file here; an object-store reader is the same interface), and only the
-windowed pixels ride the DataFrame.
+opens its files through the :class:`core.cog.RangeReader` seam —
+``http(s)://`` entries dispatch to :class:`core.cog.HttpRangeReader`
+(GET-Range with retries, one-request headers, latency-priced
+coalescing: the S3 shape of LandsatInput.scala:23-27), local paths to
+the file reader — and only the windowed pixels ride the DataFrame.
 
 Plan shape (100 TB):
 - the paths relation is metadata-only (no payloads) — repartitioned by
@@ -95,7 +97,7 @@ def cog_inventory(spark: SparkSession, paths) -> DataFrame:
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                rd = cog.FileRangeReader(path)
+                rd = cog.open_range_reader(path)
                 info = cog.parse_chain(rd)
                 lv = info.levels[0]
                 ext = info.extent or (0.0, 0.0, float(lv.width), float(lv.height))
@@ -163,7 +165,7 @@ def cog_scenes(
             rows = []
             for row in pdf.itertuples(index=False):
                 path = row.path
-                rd = cog.FileRangeReader(path)
+                rd = cog.open_range_reader(path)
                 try:
                     reader = cog.CogReader(rd)
                 except (NotImplementedError, ValueError):
