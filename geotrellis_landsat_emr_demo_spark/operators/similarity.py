@@ -343,7 +343,12 @@ def ivf_topk(
 
     ``centroids`` overrides the seeded random quantizer with a trained
     one (:func:`kmeans_fit`) — data-fit lists balance better and lift
-    recall-per-probe on clustered corpora.
+    recall-per-probe on clustered corpora.  Recall-per-probe is a
+    property of the corpus GEOMETRY: on an isotropic corpus any nlist
+    quantizer yields recall ~ the probed-cell fraction and training buys
+    nothing (measured, BENCH/BASELINE.md §ivf); on a clustered corpus a
+    trained quantizer lifts recall ~2.3x at the same candidate fraction
+    (tests/test_textops.py::test_ivf_trained_recall_on_clustered_corpus).
 
     The 100-TB shape: the corpus is hashed once into a NARROW (id, cell)
     relation (checkpointed — the list assignment never re-runs), candidates

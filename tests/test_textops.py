@@ -889,3 +889,35 @@ def test_paragraph_dedup_random_oracle(spark):
         # every distinct paragraph survives exactly once, corpus-wide
         survivors = [p for t, _, _ in got.values() for p in t.split("\n") if p]
         assert sorted(survivors) == sorted(seen)
+
+
+def test_ivf_trained_recall_on_clustered_corpus(spark):
+    """IVF recall is a property of the CORPUS GEOMETRY, not the plan: on
+    the isotropic driver fixture trained==seeded==~nprobe/nlist by
+    construction (BENCH/BASELINE.md ivf analysis); on a clustered corpus
+    the trained quantizer must clear 0.8 recall@10 at nprobe=2/nlist=16
+    (~13% candidate fraction) and beat the seeded one by a wide margin."""
+    from geotrellis_landsat_emr_demo_spark import fixtures
+
+    pdf = fixtures.embeddings_clustered_pdf()
+    emb = spark.createDataFrame(pdf)
+    q = emb.filter(F.col("vec_id") < 32)
+    truth = {}
+    for r in similarity.cosine_topk(emb, q, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(qq, set()) & truth[qq]) / len(truth[qq]) for qq in truth
+        ) / len(truth)
+
+    cents, _, _ = similarity.kmeans_fit(emb, k=16, iters=5)
+    r_trained = recall(
+        similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=2, centroids=cents)
+    )
+    r_seeded = recall(similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=2))
+    assert r_trained >= 0.8, (r_trained, r_seeded)
+    assert r_trained - r_seeded >= 0.25, (r_trained, r_seeded)
