@@ -144,6 +144,12 @@ def payload_fmt(data: bytes) -> str:
     return _FMT_INV[_HDR.unpack_from(data)[2]]
 
 
+def payload_dims(data: bytes) -> tuple:
+    """(bands, h, w) from the payload header — no decode."""
+    _, _, _, nb, h, w = _HDR.unpack_from(data)
+    return nb, h, w
+
+
 # ----------------------------------------------------------- cell casts ---
 
 def to_double(arr_u16: np.ndarray) -> np.ndarray:
@@ -439,7 +445,7 @@ def warp_to_extent(
     return from_double(bilinear_sample_multi(to_double(src_u16), FX, FY))
 
 
-def split_to_tiles(
+def split_to_tiles_cropped(
     src_u16: np.ndarray,
     src_extent,
     zoom: int,
@@ -448,14 +454,25 @@ def split_to_tiles(
     src_crs: str = "EPSG:3857",
 ):
     """Regrid a scene onto the aligned tile grid covering it and yield
-    ((col, row), (bands, ts, ts) uint16) fragments.
+    ((col, row), (ox, oy), (bands, fh, fw) uint16) CROPPED fragments —
+    only the tile pixels with any in-source bilinear support.
 
-    The vectorized form of raster split + tileToLayout
-    (LandsatInput.scala:73-75, LandsatIngest.scala:39): decode + data-mask
-    work happens ONCE per scene (prepare_bilinear_src), then each tile is a
-    cache-friendly 256x256 multiband sample.  Output is bitwise-equal to
-    regrid_to_extent(src, src_extent, tile_extent(c, r, zoom)) per tile
-    (oracle parity, tests/test_core.py).
+    Every pixel outside the crop is NoData by
+    :func:`bilinear_sample_multi`'s out-of-bounds rule (|fx| beyond
+    [-0.5, w-0.5] -> NaN), so compositing the fragment into a NoData
+    canvas at (ox, oy) is bitwise-equal to the full-tile sample — that is
+    the contract :func:`split_to_tiles` wraps and the parity tests pin.
+
+    Why cropped: a scene's covering tile set includes many partially
+    covered border tiles; padded full tiles inflated the ingest
+    shuffle/Arrow byte volume ~4x over the source pixels (measured,
+    BENCH/BASELINE.md §r6 ingest write-side) and sampled NoData pixels
+    for nothing.  Cropping shrinks both the sampling work and every
+    downstream byte movement; fragments are padded back only at the
+    merge reduce side (small groups) and in the stored full tiles.
+
+    A tile in range with ZERO supported pixels still yields a 1x1 NoData
+    fragment, preserving the layer's tile set exactly.
 
     A non-3857 ``src_crs`` (UTM) switches the per-tile sample coordinates
     to the inverse-mapped projection chain (same math as
@@ -473,6 +490,7 @@ def split_to_tiles(
     src = to_double(src_u16)
     pre = prepare_bilinear_src(src)
     idx = np.arange(tile_size, dtype="f8") + 0.5
+    empty = np.full((nb, 1, 1), NODATA_U16, dtype=np.uint16)
     for r in range(r0, r1 + 1):
         for c in range(c0, c1 + 1):
             dxmin, dymin, dxmax, dymax = _tiling.tile_extent(c, r, zoom)
@@ -481,15 +499,81 @@ def split_to_tiles(
             if native_3857:
                 fx = (px - sxmin) / cw - 0.5
                 fy = (symax - py) / ch - 0.5
-                FX, FY = np.meshgrid(fx, fy)
+                jv = np.nonzero((fx >= -0.5) & (fx <= sw - 0.5))[0]
+                iv = np.nonzero((fy >= -0.5) & (fy <= sh - 0.5))[0]
+                if len(jv) == 0 or len(iv) == 0:
+                    yield (c, r), (0, 0), empty
+                    continue
+                j0, j1 = int(jv[0]), int(jv[-1]) + 1
+                i0, i1 = int(iv[0]), int(iv[-1]) + 1
+                FX, FY = np.meshgrid(fx[j0:j1], fy[i0:i1])
             else:
                 PX, PY = np.meshgrid(px, py)
                 UX, UY = _proj.mercator_to_crs(PX.ravel(), PY.ravel(), src_crs)
-                FX = ((UX - sxmin) / cw - 0.5).reshape(tile_size, tile_size)
-                FY = ((symax - UY) / ch - 0.5).reshape(tile_size, tile_size)
-            yield (c, r), from_double(
+                FXa = ((UX - sxmin) / cw - 0.5).reshape(tile_size, tile_size)
+                FYa = ((symax - UY) / ch - 0.5).reshape(tile_size, tile_size)
+                valid = (
+                    (FXa >= -0.5) & (FXa <= sw - 0.5)
+                    & (FYa >= -0.5) & (FYa <= sh - 0.5)
+                )
+                jv = np.nonzero(valid.any(axis=0))[0]
+                iv = np.nonzero(valid.any(axis=1))[0]
+                if len(jv) == 0 or len(iv) == 0:
+                    yield (c, r), (0, 0), empty
+                    continue
+                j0, j1 = int(jv[0]), int(jv[-1]) + 1
+                i0, i1 = int(iv[0]), int(iv[-1]) + 1
+                FX = FXa[i0:i1, j0:j1]
+                FY = FYa[i0:i1, j0:j1]
+            yield (c, r), (j0, i0), from_double(
                 bilinear_sample_multi(src, FX, FY, pre=pre)
             )
+
+
+def pad_to_tile(
+    arr: np.ndarray, ox: int, oy: int, tile_size: int = 256, fill=NODATA_U16
+) -> np.ndarray:
+    """Cropped fragment -> full (bands, tile_size, tile_size) canvas with
+    ``fill`` outside; exact inverse of the split crop.  ``fill=NO_WINNER``
+    pads provenance winner maps."""
+    nb, fh, fw = arr.shape
+    if fh == tile_size and fw == tile_size:
+        return arr
+    full = np.full((nb, tile_size, tile_size), fill, dtype=arr.dtype)
+    full[:, oy : oy + fh, ox : ox + fw] = arr
+    return full
+
+
+def union_bbox(offsets, shapes):
+    """Union rect of fragment rects [(ox, oy)] x [(nb, fh, fw)] ->
+    (x0, y0, x1, y1).  Pure rectangle arithmetic (no mask scan): the
+    union of contributor support rects bounds every data pixel a merge
+    of those fragments can produce."""
+    x0 = min(o[0] for o in offsets)
+    y0 = min(o[1] for o in offsets)
+    x1 = max(o[0] + s[2] for o, s in zip(offsets, shapes))
+    y1 = max(o[1] + s[1] for o, s in zip(offsets, shapes))
+    return x0, y0, x1, y1
+
+
+def split_to_tiles(
+    src_u16: np.ndarray,
+    src_extent,
+    zoom: int,
+    tile_range,
+    tile_size: int = 256,
+    src_crs: str = "EPSG:3857",
+):
+    """Full-tile form of :func:`split_to_tiles_cropped`: yields
+    ((col, row), (bands, ts, ts) uint16), each fragment padded back onto
+    the NoData canvas.  Output is bitwise-equal to
+    regrid_to_extent(src, src_extent, tile_extent(c, r, zoom)) per tile
+    (oracle parity, tests/test_core.py) — the crop excludes exactly the
+    pixels the sampler NaNs."""
+    for (c, r), (ox, oy), arr in split_to_tiles_cropped(
+        src_u16, src_extent, zoom, tile_range, tile_size, src_crs
+    ):
+        yield (c, r), pad_to_tile(arr, ox, oy, tile_size)
 
 
 def downsample_2x2(child_f8: np.ndarray) -> np.ndarray:

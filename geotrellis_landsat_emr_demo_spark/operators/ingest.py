@@ -42,9 +42,14 @@ from .. import MAX_ZOOM, MIN_ZOOM, TILE_SIZE
 from ..catalog import Catalog
 from ..core import cellindex, kernels, proj, tiling
 
+# Fragments ride the shuffle CROPPED to their in-source support rect
+# (ox, oy = offset inside the tile canvas; the payload header carries the
+# rect dims).  Padded full tiles inflated the ingest's Arrow + shuffle
+# byte volume ~4x over the source pixels (border tiles are mostly NoData);
+# padding now happens only at the merge reduce side and in stored tiles.
 FRAGMENT_SCHEMA = (
     "x int, y int, ts timestamp, cell_key long, image_id string, "
-    "caption string, frag binary"
+    "caption string, frag binary, ox int, oy int"
 )
 TILE_SCHEMA = (
     "layer string, zoom int, x int, y int, cell_key long, time_key long, "
@@ -53,7 +58,7 @@ TILE_SCHEMA = (
 _PARTIAL_SCHEMA = (
     "x int, y int, ts timestamp, cell_key long, image_id string, "
     "caption string, frag binary, winner binary, winner_ids array<string>, "
-    "n_frags int"
+    "n_frags int, ox int, oy int"
 )
 
 
@@ -67,7 +72,13 @@ def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16"):
 
     def fn(batches):
         for pdf in batches:
-            out = {k: [] for k in ("x", "y", "ts", "cell_key", "image_id", "caption", "frag")}
+            out = {
+                k: []
+                for k in (
+                    "x", "y", "ts", "cell_key", "image_id", "caption",
+                    "frag", "ox", "oy",
+                )
+            }
             for row in pdf.itertuples(index=False):
                 arr = kernels.decode_payload(row.bytes)
                 ext = (row.xmin, row.ymin, row.xmax, row.ymax)
@@ -77,7 +88,7 @@ def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16"):
                 ext_3857 = proj.extent_to_mercator(ext, crs)
                 trange = tiling.extent_to_tile_range(*ext_3857, zoom)
                 # single gather for the whole covering block, sliced per tile
-                for (c, r), tile in kernels.split_to_tiles(
+                for (c, r), (ox, oy), tile in kernels.split_to_tiles_cropped(
                     arr, ext, zoom, trange, TILE_SIZE, src_crs=crs
                 ):
                     out["x"].append(c)
@@ -87,6 +98,8 @@ def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16"):
                     out["image_id"].append(row.image_id)
                     out["caption"].append(row.caption)
                     out["frag"].append(kernels.encode_payload(tile, frag_fmt))
+                    out["ox"].append(ox)
+                    out["oy"].append(oy)
             yield pd.DataFrame(out)
 
     return fn
@@ -98,7 +111,10 @@ def _merge_fn(layer: str, zoom: int, store_fmt: str):
     (deterministic under any shuffle order)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        frags = [kernels.decode_payload(b) for b in pdf["frag"]]
+        frags = [
+            kernels.pad_to_tile(kernels.decode_payload(b), ox, oy, TILE_SIZE)
+            for b, ox, oy in zip(pdf["frag"], pdf["ox"], pdf["oy"])
+        ]
         ids = pdf["image_id"].tolist()
         merged = kernels.merge_fragments(frags, ids)
         first = int(np.argmin(np.asarray(ids, dtype=object)))
@@ -140,30 +156,45 @@ def _chunk_premerge_fn(zoom: int, frag_fmt: str = "npy-u16"):
                 crs = getattr(row, "crs", "EPSG:3857") or "EPSG:3857"
                 ext_3857 = proj.extent_to_mercator(ext, crs)
                 trange = tiling.extent_to_tile_range(*ext_3857, zoom)
-                for (c, r), tile in kernels.split_to_tiles(
+                for (c, r), (ox, oy), tile in kernels.split_to_tiles_cropped(
                     arr, ext, zoom, trange, TILE_SIZE, src_crs=crs
                 ):
                     groups.setdefault((c, r, row.ts), []).append(
-                        (tile, row.image_id, row.caption)
+                        (tile, (ox, oy), row.image_id, row.caption)
                     )
             out = {
                 k: []
                 for k in (
                     "x", "y", "ts", "cell_key", "image_id", "caption",
-                    "frag", "winner", "winner_ids", "n_frags",
+                    "frag", "winner", "winner_ids", "n_frags", "ox", "oy",
                 )
             }
             for (c, r, ts), items in groups.items():
                 if len(items) == 1:
-                    tile, iid, cap = items[0]
+                    tile, (ox, oy), iid, cap = items[0]
                     winner, wids = None, None
                 else:
-                    tile, widx, wids = kernels.merge_fragments_ranked(
-                        [t for t, _, _ in items], [i for _, i, _ in items]
+                    # pad to canvas for the ranked merge, then crop the
+                    # partial back to the union of contributor rects so
+                    # pre-merged keys still shuffle cropped
+                    full, widx, wids = kernels.merge_fragments_ranked(
+                        [
+                            kernels.pad_to_tile(t, o[0], o[1], TILE_SIZE)
+                            for t, o, _, _ in items
+                        ],
+                        [i for _, _, i, _ in items],
                     )
-                    winner = np.ascontiguousarray(widx).tobytes()
-                    first = min(range(len(items)), key=lambda j: items[j][1])
-                    iid, cap = items[first][1], items[first][2]
+                    bx0, by0, bx1, by1 = kernels.union_bbox(
+                        [o for _, o, _, _ in items],
+                        [t.shape for t, _, _, _ in items],
+                    )
+                    tile = full[:, by0:by1, bx0:bx1]
+                    winner = np.ascontiguousarray(
+                        widx[:, by0:by1, bx0:bx1]
+                    ).tobytes()
+                    ox, oy = bx0, by0
+                    first = min(range(len(items)), key=lambda j: items[j][2])
+                    iid, cap = items[first][2], items[first][3]
                 out["x"].append(c)
                 out["y"].append(r)
                 out["ts"].append(ts)
@@ -174,6 +205,8 @@ def _chunk_premerge_fn(zoom: int, frag_fmt: str = "npy-u16"):
                 out["winner"].append(winner)
                 out["winner_ids"].append(wids)
                 out["n_frags"].append(len(items))
+                out["ox"].append(ox)
+                out["oy"].append(oy)
             yield pd.DataFrame(out)
 
     return fn
@@ -184,9 +217,16 @@ def _partial_merge_fn():
     commutative ranked merge; emits one partial fragment + winner map."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        frags = [kernels.decode_payload(b) for b in pdf["frag"]]
+        offs = list(zip(pdf["ox"].astype(int), pdf["oy"].astype(int)))
+        frags = [
+            kernels.pad_to_tile(kernels.decode_payload(b), ox, oy, TILE_SIZE)
+            for b, (ox, oy) in zip(pdf["frag"], offs)
+        ]
         ids = pdf["image_id"].tolist()
         merged, winner_idx, sorted_ids = kernels.merge_fragments_ranked(frags, ids)
+        bx0, by0, bx1, by1 = kernels.union_bbox(
+            offs, [kernels.payload_dims(b) for b in pdf["frag"]]
+        )
         first = int(np.argmin(np.asarray(ids, dtype=object)))
         return pd.DataFrame(
             dict(
@@ -196,11 +236,17 @@ def _partial_merge_fn():
                 cell_key=[int(pdf["cell_key"].iloc[0])],
                 image_id=[ids[first]],
                 caption=[pdf["caption"].iloc[first]],
-                frag=[kernels.encode_payload(merged, "npy-u16")],
+                frag=[
+                    kernels.encode_payload(merged[:, by0:by1, bx0:bx1], "npy-u16")
+                ],
                 # compact provenance: u16 index per cell + the id list
-                winner=[np.ascontiguousarray(winner_idx).tobytes()],
+                winner=[
+                    np.ascontiguousarray(winner_idx[:, by0:by1, bx0:bx1]).tobytes()
+                ],
                 winner_ids=[sorted_ids],
                 n_frags=[len(ids)],
+                ox=[int(bx0)],
+                oy=[int(by0)],
             )
         )
 
@@ -218,9 +264,14 @@ def _final_merge_fn(layer: str, zoom: int, store_fmt: str):
         if len(pdf) == 1:
             # singleton key: combine_ranked of one partial is the identity,
             # and encode(decode(x), fmt) == x for the matching raw format —
-            # pass the fragment bytes through untouched (no codec work)
+            # pass the fragment bytes through untouched (no codec work).
+            # Only FULL-canvas fragments qualify: a cropped border
+            # fragment must be padded back onto the NoData canvas.
             frag = pdf["frag"].iloc[0]
-            if kernels.payload_fmt(frag) == store_fmt:
+            if (
+                kernels.payload_fmt(frag) == store_fmt
+                and kernels.payload_dims(frag)[1:] == (TILE_SIZE, TILE_SIZE)
+            ):
                 return pd.DataFrame(
                     dict(
                         layer=[layer],
@@ -237,18 +288,27 @@ def _final_merge_fn(layer: str, zoom: int, store_fmt: str):
                     )
                 )
         parts = []
-        for b, wb, wids, iid in zip(
-            pdf["frag"], pdf["winner"], pdf["winner_ids"], pdf["image_id"]
+        for b, wb, wids, iid, ox, oy in zip(
+            pdf["frag"], pdf["winner"], pdf["winner_ids"], pdf["image_id"],
+            pdf["ox"], pdf["oy"],
         ):
             m = kernels.decode_payload(b)
             if wb is None:
                 w = np.where(
                     m != kernels.NODATA_U16, np.uint16(0), kernels.NO_WINNER
                 ).astype(np.uint16)
-                parts.append((m, w, [str(iid)]))
+                parts.append((
+                    kernels.pad_to_tile(m, ox, oy, TILE_SIZE),
+                    kernels.pad_to_tile(w, ox, oy, TILE_SIZE, fill=kernels.NO_WINNER),
+                    [str(iid)],
+                ))
             else:
                 w = np.frombuffer(wb, dtype=np.uint16).reshape(m.shape)
-                parts.append((m, w, list(wids)))
+                parts.append((
+                    kernels.pad_to_tile(m, ox, oy, TILE_SIZE),
+                    kernels.pad_to_tile(w, ox, oy, TILE_SIZE, fill=kernels.NO_WINNER),
+                    list(wids),
+                ))
         merged, _, _ = kernels.combine_ranked(parts)
         ids = pdf["image_id"].tolist()
         first = int(np.argmin(np.asarray(ids, dtype=object)))
@@ -550,6 +610,7 @@ def ingest_images(
     fail_after_stage: str | None = None,
     cell_type: str = "uint16",
     writer_partitions: int | None = None,
+    frag_fmt: str = "npy-u16",
 ) -> dict:
     """Run the full ingest; resumable (skips stages whose completion marker
     is already committed).  Returns metrics {stage: {rows, wall_s, ...}}.
@@ -579,7 +640,9 @@ def ingest_images(
         if salt_buckets > 1:
             # explicit salting: partial within (key, salt), final across
             # salts — for reduce-side skew beyond what the combiner absorbs
-            frags = src.mapInPandas(_chunk_fn(max_zoom), schema=FRAGMENT_SCHEMA)
+            frags = src.mapInPandas(
+                _chunk_fn(max_zoom, frag_fmt), schema=FRAGMENT_SCHEMA
+            )
             salted = frags.withColumn(
                 "salt", F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets))
             )
@@ -590,7 +653,7 @@ def ingest_images(
             # default: map-side combine inside the chunk task (partial
             # aggregation), final merge after one shuffle
             partials = src.mapInPandas(
-                _chunk_premerge_fn(max_zoom), schema=_PARTIAL_SCHEMA
+                _chunk_premerge_fn(max_zoom, frag_fmt), schema=_PARTIAL_SCHEMA
             )
         tiles = _merge_partials(partials, layer, max_zoom, store_fmt)
         rows, nbytes, level_files = _commit_level(
