@@ -62,7 +62,34 @@ _PARTIAL_SCHEMA = (
 )
 
 
-def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16"):
+def _fetch_payloads(paths: list, ids: list) -> dict:
+    """Worker-side payload fetch: read ``bytes`` for the given image_ids
+    straight from the catalog's parquet files via pyarrow, with row-group
+    stat pruning on image_id.  The 100 TB pattern (the reference fetches
+    scene rasters from S3 inside the task, LandsatInput.scala:23-27):
+    payloads never enter the JVM, never ride an Arrow IPC batch, and
+    never shuffle — Spark moves only slim metadata."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    # Every executor python worker runs this concurrently: pyarrow's
+    # default pools are sized to ALL machine cores per process, so 32
+    # workers x 32 threads oversubscribes the box ~32x.  One compute
+    # thread + one IO thread per worker keeps aggregate parallelism =
+    # executor count, like the JVM scan it replaces.
+    if pa.cpu_count() > 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+    dset = pads.dataset(paths, format="parquet")
+    tbl = dset.to_table(
+        columns=["image_id", "bytes"],
+        filter=pc.field("image_id").isin(ids),
+    )
+    return dict(zip(tbl["image_id"].to_pylist(), tbl["bytes"].to_pylist()))
+
+
+def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16", payload_files: list | None = None):
     """mapInPandas fn: one images batch -> fragment rows for every
     zoom-``zoom`` tile the scene footprint covers.
 
@@ -79,8 +106,14 @@ def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16"):
                     "frag", "ox", "oy",
                 )
             }
+            fetched = (
+                _fetch_payloads(payload_files, pdf["image_id"].tolist())
+                if payload_files is not None
+                else None
+            )
             for row in pdf.itertuples(index=False):
-                arr = kernels.decode_payload(row.bytes)
+                raw = fetched[row.image_id] if fetched is not None else row.bytes
+                arr = kernels.decode_payload(raw)
                 ext = (row.xmin, row.ymin, row.xmax, row.ymax)
                 # non-3857 scenes (UTM) are warped during the split — the
                 # covering range comes from the reprojected envelope
@@ -139,19 +172,32 @@ def _merge_fn(layer: str, zoom: int, store_fmt: str):
     return fn
 
 
-def _chunk_premerge_fn(zoom: int, frag_fmt: str = "npy-u16"):
+def _chunk_premerge_fn(
+    zoom: int, frag_fmt: str = "npy-u16", payload_files: list | None = None
+):
     """Map-side-combining chunk: like :func:`_chunk_fn` but fragments that
     share a (x, y, ts) key WITHIN the task are pre-merged with the ranked
     commutative merge before the shuffle — the partial-aggregation
     (combiner) form of the tile merge.  Cuts shuffle rows wherever scenes
     in one task overlap (hot cells especially).  Singleton fragments skip
-    provenance (winner columns null) to avoid payload overhead."""
+    provenance (winner columns null) to avoid payload overhead.
+
+    ``payload_files``: pointer mode — the batch carries no ``bytes``
+    column; scene payloads are fetched worker-side from the catalog's
+    parquet files (:func:`_fetch_payloads`)."""
 
     def fn(batches):
         for pdf in batches:
             groups: dict = {}
+            fetched = (
+                _fetch_payloads(payload_files, pdf["image_id"].tolist())
+                if payload_files is not None
+                else None
+            )
             for row in pdf.itertuples(index=False):
-                arr = kernels.decode_payload(row.bytes)
+                arr = kernels.decode_payload(
+                    fetched[row.image_id] if fetched is not None else row.bytes
+                )
                 ext = (row.xmin, row.ymin, row.xmax, row.ymax)
                 crs = getattr(row, "crs", "EPSG:3857") or "EPSG:3857"
                 ext_3857 = proj.extent_to_mercator(ext, crs)
@@ -611,6 +657,8 @@ def ingest_images(
     cell_type: str = "uint16",
     writer_partitions: int | None = None,
     frag_fmt: str = "npy-u16",
+    source_partitioning: str = "auto",
+    payload_source: str = "auto",
 ) -> dict:
     """Run the full ingest; resumable (skips stages whose completion marker
     is already committed).  Returns metrics {stage: {rows, wall_s, ...}}.
@@ -621,7 +669,35 @@ def ingest_images(
     ``salt_buckets``: 1 = combiner-only merge; N > 1 = two-phase salted
     merge for reduce-side skew; "auto" = derive from fragment-count skew
     measured on the slim footprint metadata (:func:`_auto_salt_buckets`).
+
+    ``payload_source``: "pointer" ships only slim scene metadata through
+    Spark and fetches payload bytes worker-side from the catalog parquet
+    (:func:`_fetch_payloads`) — the object-store deployment shape;
+    "inline"/"auto" (default) carries the bytes column through the plan.
+
+    ``source_partitioning`` (inline mode only): "scan" = no pre-chunk
+    shuffle (file-split parallelism), "roundrobin" = exact-balance
+    repartition of the source rows, "auto" = roundrobin unless the scan
+    is already >= 4 splits per task slot.
     """
+    # payload_source="pointer": Spark plans over SLIM scene metadata only;
+    # each chunk task fetches its scenes' bytes straight from the catalog
+    # parquet (pyarrow, image_id row-group pruning).  The payload column
+    # never enters the JVM, an Arrow IPC batch, or a shuffle — the
+    # reference's fetch-raster-in-the-task shape (LandsatInput.scala:23-27
+    # reads S3 inside the Spark task, not through an RDD of bytes).
+    # "auto" = pointer whenever ingesting the catalog's own images table
+    # (caller passed no DataFrame); an explicit images_df keeps bytes
+    # inline since its rows may not exist in any catalog file.
+    # Pointer mode is OPT-IN: on a single box the worker-side parquet
+    # fetch re-reads whole row groups per id range and loses to the JVM
+    # scan (interleaved A/B medians 147 vs 37-60 s, BENCH/BASELINE.md
+    # §r6); its value is the object-store deployment, where each
+    # executor's fetch rides its own NIC and the payloads never cross
+    # the cluster twice.  "auto" therefore resolves to inline.
+    payload_files = None
+    if payload_source == "pointer" and images_df is None:
+        payload_files = [p for p, _ in cat.file_entries("images")] or None
     if images_df is None:
         images_df = cat.read_spark(spark, "images")
     metrics = {}
@@ -632,16 +708,54 @@ def ingest_images(
     leaf_stage = f"ingest:{layer}:z{max_zoom}"
     if not cat.is_committed(leaf_stage):
         t0 = time.time()
-        # round-robin repartition: exact scene balance across tasks (hash
-        # on image_id leaves Poisson skew; scenes are uniform-cost here)
+        slim_cols = ["image_id", "ts", "xmin", "ymin", "xmax", "ymax", "caption", "crs"]
         src = images_df.select(
-            "image_id", "bytes", "ts", "xmin", "ymin", "xmax", "ymax", "caption", "crs"
-        ).repartition(par)
+            *(slim_cols if payload_files is not None else slim_cols[:1] + ["bytes"] + slim_cols[1:])
+        )
+        if payload_files is not None:
+            # Range-partition the slim metadata on image_id: ids are
+            # written to the catalog in order, so a contiguous id range
+            # maps to a contiguous run of parquet row groups — each
+            # task's _fetch_payloads prunes to ~its own slice of the
+            # file.  (A round-robin scatter makes every task's isin
+            # filter touch ~every row group: measured 7x read
+            # amplification, BENCH/BASELINE.md §r6.)  Shuffling the slim
+            # rows is ~KBs regardless of corpus size.
+            src = src.repartitionByRange(par, "image_id")
+        # Inline payloads: source_partitioning="scan" chunks straight off
+        # the file-scan splits — NO shuffle of the raw scene bytes.  At
+        # 100 TB a pre-chunk round-robin repartition is a full-data
+        # shuffle before any compute; scan splits (sized by parquet row
+        # groups + spark.sql.files.maxPartitionBytes) give the same
+        # parallelism for free when the catalog writes payload tables
+        # with small row groups (catalog.append_pandas row_group_bytes),
+        # and the chunk's map-side combiner sees co-written (spatially
+        # adjacent) scenes, which RAISES its hit rate vs a scatter.
+        # "roundrobin" restores the explicit exact-balance shuffle;
+        # "auto" (default) shuffles only when the scan is too coarse to
+        # feed the configured width (arbitrary caller DataFrames).
+        # "auto": exact-balance round-robin unless the scan is already
+        # MANY tasks per core — with >= 4 splits per slot the scheduler's
+        # work stealing self-balances and the pre-chunk shuffle of every
+        # payload byte buys nothing (at 100 TB the scan is millions of
+        # row-group splits, so auto always resolves to scan there);
+        # near the width, split-size imbalance dominates and the cheap
+        # local shuffle wins (interleaved A/B: 36.9 vs 59.5 s median at
+        # 56 splits / 32 cores, BENCH/BASELINE.md §r6).
+        if payload_files is None and (
+            source_partitioning == "roundrobin"
+            or (
+                source_partitioning == "auto"
+                and src.rdd.getNumPartitions() < 4 * par
+            )
+        ):
+            src = src.repartition(par)
         if salt_buckets > 1:
             # explicit salting: partial within (key, salt), final across
             # salts — for reduce-side skew beyond what the combiner absorbs
             frags = src.mapInPandas(
-                _chunk_fn(max_zoom, frag_fmt), schema=FRAGMENT_SCHEMA
+                _chunk_fn(max_zoom, frag_fmt, payload_files),
+                schema=FRAGMENT_SCHEMA,
             )
             salted = frags.withColumn(
                 "salt", F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets))
@@ -653,7 +767,8 @@ def ingest_images(
             # default: map-side combine inside the chunk task (partial
             # aggregation), final merge after one shuffle
             partials = src.mapInPandas(
-                _chunk_premerge_fn(max_zoom, frag_fmt), schema=_PARTIAL_SCHEMA
+                _chunk_premerge_fn(max_zoom, frag_fmt, payload_files),
+                schema=_PARTIAL_SCHEMA,
             )
         tiles = _merge_partials(partials, layer, max_zoom, store_fmt)
         rows, nbytes, level_files = _commit_level(

@@ -54,6 +54,15 @@ def build_session(
         # 64 KiB keeps tiny-benchmark stages wide; at production scale
         # partitions dwarf either floor, so this is scale-neutral.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # Scan splits cap at one parquet row group; the catalog writes
+        # payload tables (scene bytes, tiles) with ~32 MB row groups, so a
+        # 32 MB partition target lets the ingest chunk stage parallelize
+        # straight off the file scan with NO pre-chunk repartition shuffle
+        # of the raw bytes (operators/ingest.py source_partitioning).
+        # Slim tables produce tiny splits either way (openCostInBytes
+        # packs them), and post-shuffle sizing is AQE's job, so this is
+        # scan-only and scale-neutral.
+        .config("spark.sql.files.maxPartitionBytes", str(32 << 20))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")

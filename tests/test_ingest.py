@@ -377,3 +377,34 @@ def test_auto_salt_buckets_heuristic(spark):
         spark, cat, "landsat", max_zoom=13, min_zoom=13, salt_buckets="auto"
     )
     assert m["ingest:landsat:z13"]["rows"] > 0
+
+
+def test_pointer_payload_source_bitwise_equals_inline(spark):
+    """payload_source="pointer" (worker-side pyarrow fetch from the
+    catalog parquet, slim metadata through Spark — the object-store
+    deployment shape, LandsatInput.scala:23-27) produces BITWISE the
+    tiles of the inline bytes-through-the-plan path."""
+    outs = {}
+    for mode in ("pointer", "inline"):
+        root = os.path.join(SCRATCH, f"ptr-{mode}")
+        shutil.rmtree(root, ignore_errors=True)
+        cat = Catalog(root)
+        fixtures.write_all(cat, "t-small")
+        ingest.ingest_images(
+            spark, cat, "landsat", max_zoom=13, min_zoom=12,
+            payload_source=mode,
+        )
+        outs[mode] = (
+            cat.read_pandas("tiles")
+            .sort_values(["zoom", "x", "y"])
+            .reset_index(drop=True)
+        )
+    a, b = outs["pointer"], outs["inline"]
+    assert len(a) == len(b) and len(a) > 0
+    for (_, ra), (_, rb) in zip(a.iterrows(), b.iterrows()):
+        assert (ra.x, ra.y, ra.zoom, ra.image_id, ra.cell_key) == (
+            rb.x, rb.y, rb.zoom, rb.image_id, rb.cell_key
+        )
+        assert (
+            K.decode_payload(ra.tile) == K.decode_payload(rb.tile)
+        ).all(), (ra.zoom, ra.x, ra.y)
