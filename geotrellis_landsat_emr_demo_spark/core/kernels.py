@@ -385,6 +385,71 @@ def prepare_bilinear_src(src: np.ndarray):
     return vm, m
 
 
+def bilinear_sample_u16(
+    src_u16: np.ndarray,
+    fx: np.ndarray,
+    fy: np.ndarray,
+    nodata_free: bool = False,
+) -> np.ndarray:
+    """:func:`bilinear_sample_multi` specialized to a raw (nb, h, w)
+    uint16 raster with the 0 NoData sentinel — BITWISE-identical output
+    (``to_double`` maps 0 -> NaN, so the multi path's value*mask array IS
+    the raw raster and its mask IS ``raster != 0``; the accumulation
+    order and f8 arithmetic below are the same).
+
+    Why it exists: the multi path gathers from two precomputed float64
+    planes (value*mask, mask) — 16 bytes of random-access traffic per
+    neighbor sample.  Gathering the uint16 source directly costs 2 bytes
+    per neighbor and derives the mask from the gathered values, an 8x
+    cut in the gather bytes that dominate the chunk kernel (profiled:
+    the sampler body is ~2/3 of ingest's python time), and the
+    (value*mask, mask) planes are never materialized at all."""
+    nb, h, w = src_u16.shape
+    x0 = np.floor(fx).astype("i8")
+    y0 = np.floor(fy).astype("i8")
+    tx = fx - x0
+    ty = fy - y0
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    w00 = (1 - tx) * (1 - ty)
+    w01 = tx * (1 - ty)
+    w10 = (1 - tx) * ty
+    w11 = tx * ty
+    g00 = src_u16[:, y0c, x0c]
+    g01 = src_u16[:, y0c, x1c]
+    g10 = src_u16[:, y1c, x0c]
+    g11 = src_u16[:, y1c, x1c]
+    num = w00 * g00
+    num += w01 * g01
+    num += w10 * g10
+    num += w11 * g11
+    if nodata_free:
+        # caller guarantees no 0 pixel in src: every mask gather is 1.0,
+        # so the accumulation below is w00+w01+w10+w11 in the SAME order
+        # — bitwise-identical den, no gathers/compares.  (The sum is NOT
+        # folded to the constant 1.0: it differs from 1.0 in the last
+        # ulp for some (tx, ty), and the division must see the same
+        # value the masked path produces.)
+        den = w00 + w01
+        den += w10
+        den += w11
+        den = np.broadcast_to(den, num.shape)
+    else:
+        den = w00 * (g00 != NODATA_U16)
+        den += w01 * (g01 != NODATA_U16)
+        den += w10 * (g10 != NODATA_U16)
+        den += w11 * (g11 != NODATA_U16)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / den
+    out[den <= 0] = np.nan
+    oob = (fx < -0.5) | (fx > w - 0.5) | (fy < -0.5) | (fy > h - 0.5)
+    if oob.any():
+        out[:, oob] = np.nan
+    return out
+
+
 def regrid_to_extent(
     src_u16: np.ndarray,
     src_extent,
@@ -409,7 +474,7 @@ def regrid_to_extent(
     fx = (px - sxmin) / cw - 0.5
     fy = (symax - py) / ch - 0.5
     FX, FY = np.meshgrid(fx, fy)
-    return from_double(bilinear_sample_multi(to_double(src_u16), FX, FY))
+    return from_double(bilinear_sample_u16(src_u16, FX, FY))
 
 
 def warp_to_extent(
@@ -442,7 +507,7 @@ def warp_to_extent(
     UX, UY = _proj.mercator_to_crs(PX.ravel(), PY.ravel(), src_crs)
     FX = ((UX - sxmin) / cw - 0.5).reshape(H, W)
     FY = ((symax - UY) / ch - 0.5).reshape(H, W)
-    return from_double(bilinear_sample_multi(to_double(src_u16), FX, FY))
+    return from_double(bilinear_sample_u16(src_u16, FX, FY))
 
 
 def split_to_tiles_cropped(
@@ -487,10 +552,10 @@ def split_to_tiles_cropped(
     nb, sh, sw = src_u16.shape
     cw = (sxmax - sxmin) / sw
     ch = (symax - symin) / sh
-    src = to_double(src_u16)
-    pre = prepare_bilinear_src(src)
     idx = np.arange(tile_size, dtype="f8") + 0.5
     empty = np.full((nb, 1, 1), NODATA_U16, dtype=np.uint16)
+    # one scan per scene; full scenes (no NoData) skip every mask gather
+    ndf = not (src_u16 == NODATA_U16).any()
     for r in range(r0, r1 + 1):
         for c in range(c0, c1 + 1):
             dxmin, dymin, dxmax, dymax = _tiling.tile_extent(c, r, zoom)
@@ -526,7 +591,7 @@ def split_to_tiles_cropped(
                 FX = FXa[i0:i1, j0:j1]
                 FY = FYa[i0:i1, j0:j1]
             yield (c, r), (j0, i0), from_double(
-                bilinear_sample_multi(src, FX, FY, pre=pre)
+                bilinear_sample_u16(src_u16, FX, FY, nodata_free=ndf)
             )
 
 

@@ -27,6 +27,7 @@ def build_session(
     shuffle_partitions: int | None = None,
     arrow_batch: int = 64,
     driver_mem: str | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = default_parallelism()
     master = master or f"local[{cpus}]"
@@ -83,6 +84,8 @@ def build_session(
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         b = b.config("spark.local.dir", local_dir)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
