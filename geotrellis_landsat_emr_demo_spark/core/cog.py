@@ -418,7 +418,12 @@ def _parse_chain_buf(data: bytes, reader: RangeReader) -> CogInfo:
         ifd = tiff._read_ifd(data, bo, off, big=big)
         planar = int(ifd.get(_T_PLANAR, [1])[0])
         if planar != 1:
-            raise NotImplementedError("planar (separate) configuration")
+            # windowed COG reads stay chunky-only; whole-file planar
+            # decode is supported by core.tiff.decode
+            raise NotImplementedError(
+                "planar (separate) configuration in windowed COG reads "
+                "(use core.tiff.decode for whole-file planar)"
+            )
         comp = int(ifd.get(_T_COMPRESSION, [1])[0])
         if comp not in (
             _COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_ADOBE,

@@ -314,8 +314,10 @@ def read(data: bytes):
     fmt = int(ifd.get(_T_SAMPLE_FORMAT, [1])[0])
     pred = int(ifd.get(_T_PREDICTOR, [1])[0])
     planar = int(ifd.get(_T_PLANAR, [1])[0])
-    if planar != 1:
-        raise NotImplementedError("planar (separate) configuration")
+    if planar not in (1, 2):
+        raise NotImplementedError(f"PlanarConfiguration {planar}")
+    if planar == 2 and comp == _COMP_JPEG:
+        raise NotImplementedError("planar (separate) with JPEG blocks")
     if pred not in (1, 2):
         raise NotImplementedError(f"predictor {pred}")
     dt = {
@@ -351,44 +353,65 @@ def read(data: bytes):
         else None
     )
 
-    def blocks(offsets, counts, bw, bh):
+    def blocks(offsets, counts, bw, bh, bspp=None):
+        bspp = spp if bspp is None else bspp
         for off, cnt in zip(offsets, counts):
             raw = bytes(data[int(off) : int(off) + int(cnt)])
             if comp == _COMP_JPEG:
-                yield _jpeg_block(raw, jpeg_tables, bw, bh, spp)
+                yield _jpeg_block(raw, jpeg_tables, bw, bh, bspp)
                 continue
-            want = bw * bh * spp * dtype.itemsize
+            want = bw * bh * bspp * dtype.itemsize
             raw = inflate(raw, want)
-            arr = np.frombuffer(raw, dtype=dtype, count=min(len(raw) // dtype.itemsize, bw * bh * spp))
-            if arr.size < bw * bh * spp:  # short final strip: pad
-                arr = np.concatenate([arr, np.zeros(bw * bh * spp - arr.size, dtype)])
-            blk = arr.reshape(bh, bw, spp)
+            arr = np.frombuffer(raw, dtype=dtype, count=min(len(raw) // dtype.itemsize, bw * bh * bspp))
+            if arr.size < bw * bh * bspp:  # short final strip: pad
+                arr = np.concatenate([arr, np.zeros(bw * bh * bspp - arr.size, dtype)])
+            blk = arr.reshape(bh, bw, bspp)
             yield _undo_predictor(blk) if pred == 2 else blk
 
     out = np.zeros((h, w, spp), dtype=dtype.newbyteorder("="))
+    # planar=2: blocks are per-plane (1 sample each), plane-major in the
+    # offsets array (TIFF 6.0 §Planar Configuration); decode each plane
+    # as an spp=1 image into its band slot
+    nplanes = spp if planar == 2 else 1
+    bspp = 1 if planar == 2 else spp
     if _T_TILE_OFFSETS in ifd:
         tw = int(ifd[_T_TILE_W][0])
         th = int(ifd[_T_TILE_H][0])
         ntx = (w + tw - 1) // tw
-        gen = blocks(ifd[_T_TILE_OFFSETS], ifd[_T_TILE_COUNTS], tw, th)
-        for i, blk in enumerate(gen):
-            ty, tx = divmod(i, ntx)
-            y0, x0 = ty * th, tx * tw
-            ys, xs = min(th, h - y0), min(tw, w - x0)
-            out[y0 : y0 + ys, x0 : x0 + xs] = blk[:ys, :xs]
+        nty = (h + th - 1) // th
+        per = ntx * nty
+        offs, cnts = ifd[_T_TILE_OFFSETS], ifd[_T_TILE_COUNTS]
+        for s in range(nplanes):
+            gen = blocks(
+                offs[s * per : (s + 1) * per],
+                cnts[s * per : (s + 1) * per], tw, th, bspp,
+            )
+            for i, blk in enumerate(gen):
+                ty, tx = divmod(i, ntx)
+                y0, x0 = ty * th, tx * tw
+                ys, xs = min(th, h - y0), min(tw, w - x0)
+                if planar == 2:
+                    out[y0 : y0 + ys, x0 : x0 + xs, s : s + 1] = blk[:ys, :xs]
+                else:
+                    out[y0 : y0 + ys, x0 : x0 + xs] = blk[:ys, :xs]
     else:
         rps = int(ifd.get(_T_ROWS_PER_STRIP, [h])[0])
+        per = (h + rps - 1) // rps
         offs, cnts = ifd[_T_STRIP_OFFSETS], ifd[_T_STRIP_COUNTS]
-        y0 = 0
-        for i, (off, cnt) in enumerate(zip(offs, cnts)):
-            rows = min(rps, h - y0)
-            blk = next(blocks([off], [cnt], w, rows))
-            out[y0 : y0 + rows] = blk
-            y0 += rows
+        for s in range(nplanes):
+            y0 = 0
+            for off, cnt in zip(offs[s * per : (s + 1) * per], cnts[s * per : (s + 1) * per]):
+                rows = min(rps, h - y0)
+                blk = next(blocks([off], [cnt], w, rows, bspp))
+                if planar == 2:
+                    out[y0 : y0 + rows, :, s : s + 1] = blk
+                else:
+                    out[y0 : y0 + rows] = blk
+                y0 += rows
 
     meta = dict(
         width=w, height=h, bits=bits, samples=spp, compression=comp,
-        tiled=_T_TILE_OFFSETS in ifd, predictor=pred,
+        tiled=_T_TILE_OFFSETS in ifd, predictor=pred, planar=planar,
         dtype=str(out.dtype),
     )
     if _T_PIXEL_SCALE in ifd:
@@ -460,6 +483,7 @@ def encode(
     predictor: int = 1,
     geo: dict | None = None,
     quality: int = 85,
+    planar: int = 1,
 ) -> bytes:
     """Array -> little-endian TIFF bytes.
 
@@ -511,18 +535,35 @@ def encode(
             return _lzw_encode(raw)
         return raw
 
+    if planar not in (1, 2):
+        raise ValueError(f"PlanarConfiguration {planar}")
+    if planar == 2 and comp_code == _COMP_JPEG:
+        raise NotImplementedError("planar separate with JPEG blocks")
+
+    def block_payloads(plane: np.ndarray) -> list[bytes]:
+        ph, pw, pspp = plane.shape
+        out = []
+        if tiled:
+            tw, th = tile
+            for y0 in range(0, ph, th):
+                for x0 in range(0, pw, tw):
+                    blk = np.zeros((th, tw, pspp), dtype=img.dtype)
+                    ys, xs = min(th, ph - y0), min(tw, pw - x0)
+                    blk[:ys, :xs] = plane[y0 : y0 + ys, x0 : x0 + xs]
+                    out.append(pack(blk))
+        else:
+            for y0 in range(0, ph, rows_per_strip):
+                out.append(pack(plane[y0 : y0 + rows_per_strip]))
+        return out
+
     payloads: list[bytes] = []
-    if tiled:
-        tw, th = tile
-        for y0 in range(0, h, th):
-            for x0 in range(0, w, tw):
-                blk = np.zeros((th, tw, spp), dtype=img.dtype)
-                ys, xs = min(th, h - y0), min(tw, w - x0)
-                blk[:ys, :xs] = img[y0 : y0 + ys, x0 : x0 + xs]
-                payloads.append(pack(blk))
+    if planar == 2:
+        # separate configuration: all of plane 0's blocks, then plane
+        # 1's, ... (TIFF 6.0 §Planar Configuration, plane-major order)
+        for s in range(spp):
+            payloads += block_payloads(np.ascontiguousarray(img[:, :, s : s + 1]))
     else:
-        for y0 in range(0, h, rows_per_strip):
-            payloads.append(pack(img[y0 : y0 + rows_per_strip]))
+        payloads = block_payloads(img)
 
     # layout: header(8) | payloads | [external tag values] | IFD
     entries: list[tuple[int, int, int, object]] = [
@@ -532,7 +573,7 @@ def encode(
         (_T_COMPRESSION, 3, 1, comp_code),
         (_T_PHOTOMETRIC, 3, 1, 2 if spp == 3 else 1),
         (_T_SPP, 3, 1, spp),
-        (_T_PLANAR, 3, 1, 1),
+        (_T_PLANAR, 3, 1, planar),
         (_T_SAMPLE_FORMAT, 3, spp, [fmt] * spp),
     ]
     if predictor != 1:

@@ -291,3 +291,34 @@ def test_decode_payload_clips_wide_tiff_samples():
     fl = np.linspace(-10.0, 70_000.0, 37 * 53, dtype=np.float32).reshape(37, 53)
     got = kernels.decode_payload(tiff.encode_gray(fl))
     assert (got == np.clip(np.rint(fl), 0, 65535).astype(np.uint16)).all()
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits", "lzw"])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_planar_separate_roundtrip(compression, tiled):
+    """PlanarConfiguration=2 (each sample's blocks stored as a separate
+    plane, plane-major offsets — TIFF 6.0): lossless roundtrip across
+    strip/tile layouts and codecs, multiband uint16."""
+    img = _img(h=70, w=100, channels=3)
+    data = tiff.encode(
+        img, compression=compression, tiled=tiled, tile=(32, 32),
+        rows_per_strip=16, planar=2,
+    )
+    out, meta = tiff.read(data)
+    assert (out == img).all() and out.dtype == img.dtype
+    assert meta["planar"] == 2 and meta["samples"] == 3
+
+
+def test_planar_separate_predictor_and_chunky_equivalence():
+    """planar=2 + predictor 2 roundtrips; the decoded pixels equal the
+    chunky (planar=1) encoding of the same image."""
+    img = _img(h=41, w=29, channels=4, seed=3)
+    a, _ = tiff.read(tiff.encode(img, compression="deflate", planar=2, predictor=2))
+    b, _ = tiff.read(tiff.encode(img, compression="deflate", planar=1, predictor=2))
+    assert (a == img).all() and (b == img).all()
+
+
+def test_planar_jpeg_refused():
+    img = _img(dtype=np.uint8, channels=3)
+    with pytest.raises(NotImplementedError, match="planar"):
+        tiff.encode(img, compression="jpeg", planar=2)
