@@ -246,7 +246,30 @@ class HttpRangeReader(RangeReader):
         if self._n is None:
             body, total = self._fetch(0, self._prefetch_len)
             self._head = body
-            self._n = total if total is not None else len(body)
+            if total is None:
+                # 206 without a parsable Content-Range total: adopting
+                # len(body) (the PREFETCH length) would silently misreport
+                # size()/file_bytes for the whole read session, so ask the
+                # server directly instead.
+                total = self._head_content_length()
+            if total is None:
+                raise OSError(
+                    f"{self.url}: ranged response carried no usable total "
+                    "size (no Content-Range total, no HEAD Content-Length)"
+                )
+            self._n = total
+
+    def _head_content_length(self):
+        import urllib.request
+
+        try:
+            req = urllib.request.Request(self.url, method="HEAD")
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                self.http_requests += 1
+                cl = resp.headers.get("Content-Length")
+                return int(cl) if cl is not None and str(cl).isdigit() else None
+        except Exception:
+            return None
 
     def _size(self) -> int:
         self._ensure_head()

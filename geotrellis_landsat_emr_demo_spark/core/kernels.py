@@ -74,6 +74,23 @@ def encode_payload(arr: np.ndarray, fmt: str = "npy-u16-z") -> bytes:
     return hdr + body
 
 
+def saturate_to_u16(arr: np.ndarray) -> np.ndarray:
+    """Any-dtype decoded raster -> uint16 with saturating semantics:
+    floats are rounded half-to-even first and NaN maps to the NoData
+    sentinel 0 (a NaN through ``np.clip`` survives and would hit an
+    undefined float->uint16 cast); integers clip to [0, 65535] instead
+    of wrapping mod 65536.  The ONE cast both ingest routes share —
+    :func:`decode_payload` and the windowed COG source
+    (sources/cog.py) — so inline and windowed reads of the same float
+    source are bitwise-identical."""
+    if arr.dtype == np.uint16:
+        return np.ascontiguousarray(arr)
+    if np.issubdtype(arr.dtype, np.floating):
+        arr = np.where(np.isnan(arr), 0.0, np.rint(arr))
+    arr = np.clip(arr, 0, 65535)
+    return np.ascontiguousarray(arr).astype(np.uint16, copy=False)
+
+
 def decode_payload(data: bytes) -> np.ndarray:
     """bytes -> (bands, h, w) uint16.  Inverse of :func:`encode_payload`,
     plus container dispatch on magic bytes: GeoTIFF (``II*``/``MM*``) and
@@ -93,14 +110,9 @@ def decode_payload(data: bytes) -> np.ndarray:
             arr = arr.transpose(2, 0, 1)
         else:
             arr = arr[None, :, :]
-        # int16/int32/float samples are valid TIFF; saturate (round floats
-        # first) instead of wrapping mod 65536 — matches sources/cog.py's
-        # clip on the same cast so both ingest routes agree.
-        if arr.dtype != np.uint16:
-            if np.issubdtype(arr.dtype, np.floating):
-                arr = np.rint(arr)
-            arr = np.clip(arr, 0, 65535)
-        return np.ascontiguousarray(arr).astype(np.uint16, copy=False)
+        # int16/int32/float samples are valid TIFF; saturate instead of
+        # wrapping mod 65536 (shared cast with sources/cog.py).
+        return saturate_to_u16(arr)
     if data[:2] == b"\xff\xd8":  # baseline JPEG container
         from . import jpeg
 
@@ -109,9 +121,7 @@ def decode_payload(data: bytes) -> np.ndarray:
             arr = arr.transpose(2, 0, 1)
         else:
             arr = arr[None, :, :]
-        if arr.dtype != np.uint16:
-            arr = np.clip(arr, 0, 65535)
-        return np.ascontiguousarray(arr).astype(np.uint16, copy=False)
+        return saturate_to_u16(arr)
     magic, _ver, code, nb, h, w = _HDR.unpack_from(data)
     assert magic == _MAGIC, "bad payload magic"
     fmt = _FMT_INV[code]

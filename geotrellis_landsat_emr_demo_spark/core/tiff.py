@@ -198,10 +198,19 @@ def _lzw_decode(src: bytes, expect: int) -> bytes:
             # flush code adds no table entry, so when the decoder's table
             # hits the bump threshold exactly on that last data code the
             # decoder widens but the encoder doesn't — its EOI arrives at
-            # the PRE-bump width.  If the top width-1 bits here spell EOI
-            # and nothing but byte padding can follow (a real EOI would
-            # need >= 9 more bits), this IS the end of the stream.
-            if (code >> 1) == EOI and (total_bits - bits_done) + nbits + 1 < 8:
+            # the PRE-bump width.  If the decoder is EXACTLY at a
+            # just-bumped width (table length still at the bump threshold
+            # — any post-bump data code would have grown it), the top
+            # width-1 bits spell EOI, and nothing but byte padding can
+            # follow (a real EOI would need >= 9 more bits), this IS the
+            # end of the stream.  The table-length clause keeps ordinary
+            # final data codes (514/515 at a non-threshold state, in a
+            # stream that omits EOI) from matching.
+            if (
+                (code >> 1) == EOI
+                and len(table) == (1 << (width - 1)) - 2
+                and (total_bits - bits_done) + nbits + 1 < 8
+            ):
                 return bytes(out[:expect])
             if code < len(table):
                 entry = table[code]

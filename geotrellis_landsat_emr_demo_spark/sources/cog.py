@@ -200,7 +200,7 @@ def cog_scenes(
                     arr = arr.transpose(2, 0, 1)
                 else:
                     arr = arr[None, :, :]
-                arr = np.clip(arr, 0, 65535).astype(np.uint16)
+                arr = kernels.saturate_to_u16(arr)
                 image_id = (
                     getattr(row, "image_id", None)
                     or os.path.splitext(os.path.basename(path))[0]

@@ -574,7 +574,8 @@ class _RangeHandler:
     (the object-store test double the HttpRangeReader gates run against)."""
 
     @staticmethod
-    def make(directory, log, fail_first=0, ignore_range=False):
+    def make(directory, log, fail_first=0, ignore_range=False,
+             no_total=False, with_head=True):
         import http.server
         import threading
 
@@ -584,6 +585,18 @@ class _RangeHandler:
         class H(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):  # silence
                 pass
+
+            def do_HEAD(self):
+                if not with_head:
+                    self.send_error(501, "HEAD disabled")
+                    return
+                fp = os.path.join(directory, self.path.lstrip("/"))
+                if not os.path.isfile(fp):
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(os.path.getsize(fp)))
+                self.end_headers()
 
             def do_GET(self):
                 fp = os.path.join(directory, self.path.lstrip("/"))
@@ -605,7 +618,10 @@ class _RangeHandler:
                     with lock:
                         log.append((self.path, a, b - a + 1))
                     self.send_response(206)
-                    self.send_header("Content-Range", f"bytes {a}-{b}/{len(data)}")
+                    if not no_total:
+                        self.send_header(
+                            "Content-Range", f"bytes {a}-{b}/{len(data)}"
+                        )
                 else:
                     body = data
                     with lock:
@@ -705,6 +721,44 @@ def test_http_reader_server_ignores_range(cog_dir):
         assert np.array_equal(got, want)
     finally:
         httpd.shutdown()
+
+
+def test_http_reader_206_without_content_range_total(cog_dir):
+    """A 206 that omits the Content-Range total must NOT adopt the 64 KiB
+    prefetch length as the file size (it poisoned size()/file_bytes for
+    the whole session): the reader falls back to a HEAD request for the
+    real size, and with HEAD also unavailable it errors instead of
+    misreporting."""
+    import http.server
+    import threading
+
+    path = sorted(glob.glob(os.path.join(cog_dir, "*.tif")))[0]
+    name = os.path.basename(path)
+    real = os.path.getsize(path)
+    assert real > 64 << 10, "fixture must exceed the prefetch length"
+
+    for with_head in (True, False):
+        log = []
+        httpd = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0),
+            _RangeHandler.make(cog_dir, log, no_total=True, with_head=with_head),
+        )
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            rd = cog.HttpRangeReader(f"{base}/{name}")
+            if with_head:
+                assert rd.size() == real
+                local = cog.CogReader(cog.FileRangeReader(path))
+                lv = local.info.levels[0]
+                want = local.window(0, 0, 0, lv.tile_w, lv.tile_h)
+                got = cog.CogReader(rd).window(0, 0, 0, lv.tile_w, lv.tile_h)
+                assert np.array_equal(got, want)
+            else:
+                with pytest.raises(OSError, match="no usable total"):
+                    rd.size()
+        finally:
+            httpd.shutdown()
 
 
 def test_cog_scenes_over_http_equals_local(spark, cog_dir, http_archive):

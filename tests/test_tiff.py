@@ -251,6 +251,45 @@ def test_lzw_overestimated_expect_at_bump_boundary():
         assert got == raw, f"n={n}"
 
 
+def test_lzw_final_code_514_without_eoi_not_truncated():
+    """A non-conformant stream whose LAST data code is 514/515 (top
+    width-1 bits spell EOI) and that omits EOI must decode fully: the
+    end-of-stream heuristic only applies when the decoder table is
+    exactly at a just-bumped width threshold (the real early-change
+    mismatch), not on ordinary final data codes."""
+    CLEAR = 256
+    # literals 0..255 (255 appends -> table 513, width 10 after 510),
+    # two more literals (-> 515), then final code 514 with no EOI.
+    codes = [CLEAR] + list(range(256)) + [0, 1, 514]
+
+    # bit-pack at the decoder's width schedule
+    acc = nbits = 0
+    out = bytearray()
+    table_len, width, prev = 258, 9, False
+    for c in codes:
+        acc = (acc << width) | c
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        if c == CLEAR:
+            table_len, width, prev = 258, 9, False
+            continue
+        if prev:
+            table_len += 1
+            if table_len >= (1 << width) - 2 and width < 12:
+                width += 1
+        prev = True
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+
+    # reference decode (no heuristic): table[514] was appended while
+    # processing literal 1 after prev=b"\x00" -> entry b"\x00\x01"
+    expect = bytes(range(256)) + b"\x00\x01" + b"\x00\x01"
+    got = tiff._lzw_decode(bytes(out), len(expect))
+    assert got == expect
+
+
 def test_bigtiff_inline_rational_tag():
     """BigTIFF count-1 RATIONAL (8 bytes) is legitimately INLINE; the
     old RATIONAL-size double-count treated it as external and
@@ -291,6 +330,19 @@ def test_decode_payload_clips_wide_tiff_samples():
     fl = np.linspace(-10.0, 70_000.0, 37 * 53, dtype=np.float32).reshape(37, 53)
     got = kernels.decode_payload(tiff.encode_gray(fl))
     assert (got == np.clip(np.rint(fl), 0, 65535).astype(np.uint16)).all()
+    # NaN samples map to the NoData sentinel 0 (a NaN through np.clip
+    # survives into an undefined float->uint16 cast otherwise), and the
+    # rounding is half-to-even BEFORE the clip on both ingest routes
+    # (decode_payload and the windowed COG source share saturate_to_u16)
+    fl2 = fl.copy()
+    fl2[::5, ::3] = np.nan
+    fl2[1, 1] = 2.5  # rint half-to-even -> 2, a plain truncation gives 2 too,
+    fl2[1, 2] = 3.5  # but 3.5 -> 4 separates rint from truncation
+    got2 = kernels.decode_payload(tiff.encode_gray(fl2))
+    want2 = np.clip(np.where(np.isnan(fl2), 0.0, np.rint(fl2)), 0, 65535)
+    assert (got2 == want2.astype(np.uint16)).all()
+    assert (got2[0, ::5, ::3] == 0).all()
+    assert np.array_equal(got2[0], kernels.saturate_to_u16(fl2))
 
 
 @pytest.mark.parametrize("compression", ["none", "deflate", "packbits", "lzw"])
