@@ -376,10 +376,13 @@ class CogInfo:
 def _dtype_of(ifd) -> np.dtype:
     bits = int(ifd.get(_T_BITS, np.asarray([1]))[0])
     fmt = int(ifd.get(_T_SAMPLE_FORMAT, [1])[0])
+    comp = int(ifd.get(_T_COMPRESSION, [1])[0])
     dt = {
         (8, 1): "u1", (16, 1): "u2", (32, 1): "u4",
         (16, 2): "i2", (32, 2): "i4", (32, 3): "f4", (64, 3): "f8",
     }.get((bits, fmt))
+    if comp == _COMP_JPEG and bits == 12 and fmt == 1:
+        dt = "u2"  # 12-bit JPEG blocks decode into uint16 samples
     if dt is None:
         raise NotImplementedError(f"bits={bits} sample_format={fmt}")
     return np.dtype(dt)
@@ -684,11 +687,16 @@ def _pack_tiles(
             if comp_code == tiff._COMP_JPEG:
                 from . import jpeg
 
-                payloads.append(
-                    jpeg.encode_gray(blk[:, :, 0], quality=quality)
-                    if spp == 1
-                    else jpeg.encode_rgb(blk, quality=quality)
-                )
+                if img.dtype == np.uint16:  # 12-bit (SOF1) tiles
+                    payloads.append(
+                        jpeg.encode_gray12(blk[:, :, 0], quality=quality)
+                    )
+                elif spp == 1:
+                    payloads.append(
+                        jpeg.encode_gray(blk[:, :, 0], quality=quality)
+                    )
+                else:
+                    payloads.append(jpeg.encode_rgb(blk, quality=quality))
                 continue
             if predictor == 2:
                 blk = tiff._apply_predictor(blk)
@@ -769,8 +777,10 @@ def write_cog(
     pixels on the long edge).  ``bigtiff``: the 8-byte-offset BigTIFF
     layout (magic 43) — required past 4 GiB, standard for large scene
     mosaics; the reader auto-detects either flavor.  ``compression
-    ="jpeg"`` (uint8 gray/RGB only) writes lossy self-contained JPEG
-    tiles at ``quality`` — the common visual-product COG layout."""
+    ="jpeg"`` writes lossy self-contained JPEG tiles at ``quality`` —
+    uint8 gray/RGB (the common visual-product COG layout) or uint16
+    gray <= 4095 (12-bit SOF1 tiles, BitsPerSample 12 — the real
+    remote-sensing archive precision)."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -782,10 +792,15 @@ def write_cog(
         "packbits": _COMP_PACKBITS, "lzw": _COMP_LZW,
         "jpeg": tiff._COMP_JPEG,
     }[compression]
+    jpeg12 = False
     if comp_code == tiff._COMP_JPEG:
-        if img.dtype != np.uint8 or img.shape[2] not in (1, 3):
+        if img.dtype == np.uint16 and img.shape[2] == 1:
+            if img.max(initial=0) > 4095:
+                raise ValueError("12-bit JPEG COG samples must be <= 4095")
+            jpeg12 = True  # BitsPerSample 12, SOF1 tile streams
+        elif img.dtype != np.uint8 or img.shape[2] not in (1, 3):
             raise NotImplementedError(
-                "JPEG COG tiles need uint8 gray or RGB samples"
+                "JPEG COG tiles need uint8 gray / RGB or uint16 gray samples"
             )
         if predictor != 1:
             raise ValueError("predictor does not apply to JPEG tiles")
@@ -799,7 +814,7 @@ def write_cog(
         _pack_tiles(lv, tile, comp_code, predictor, quality) for lv in levels
     ]
     fmt = {"u": 1, "i": 2, "f": 3}[img.dtype.kind]
-    bits = img.dtype.itemsize * 8
+    bits = 12 if jpeg12 else img.dtype.itemsize * 8
     spp = img.shape[2]
 
     def tags(i: int, offsets: list[int]) -> list:

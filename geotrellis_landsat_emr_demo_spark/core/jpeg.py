@@ -15,8 +15,12 @@ interchange format with a REAL bitstream implementation:
   YCbCr with ARBITRARY integer sampling factors (4:4:4, 4:2:0, 4:2:2),
   restart-marker aware, reading ALL tables from the file.  All scans
   decode into a coefficient store; dequantization + IDCT then run ONCE,
-  vectorized over every block.  Hierarchical / arithmetic-coded /
-  12-bit streams still raise ``NotImplementedError``.
+  vectorized over every block.  12-bit precision decodes on SOF1/SOF2
+  (extended sequential / progressive — the precision real JPEG-in-TIFF
+  remote-sensing archives ship, comp 7 per TIFF TechNote 2; the
+  reference reaches it through libjpeg inside GeoTrellis's reader,
+  ingest/.../LandsatInput.scala:23-27) -> (h, w) uint16.  Hierarchical
+  / arithmetic-coded streams still raise ``NotImplementedError``.
 
 The hot paths (DCT/IDCT, quantization) are vectorized numpy over all
 blocks at once; only the entropy coding loop is per-symbol Python,
@@ -217,13 +221,14 @@ def _extend(bits: int, size: int) -> int:
 # -------------------------------------------------------------- encoder --
 
 
-def _plane_zz(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+def _plane_zz(plane: np.ndarray, qtbl: np.ndarray, center: float = 128.0) -> np.ndarray:
     """(H, W) float plane (already /8-padded) -> (nblocks, 64) quantized
-    zigzag coefficients in raster block order."""
+    zigzag coefficients in raster block order.  ``center`` is the level
+    shift, 2^(P-1) for precision P."""
     H, W = plane.shape
     blocks = (
         plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    ) - 128.0
+    ) - center
     coefs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
     return np.round(coefs / qtbl).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
 
@@ -268,6 +273,13 @@ def _write_block(bw, blk, prev_dc, dc_codes, ac_codes) -> int:
 # point of the progressive fixtures; correctness of the scan machinery is.
 PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
 PROG_AC_VALS = list(range(256))
+
+# 12-bit DC table: DIFF categories 0..15 (T.81 Table F.6), 16 symbols at
+# 5 bits each — canonical, the all-ones code (11111) stays unused as the
+# spec requires.  The standard Annex K table stops at category 11, which
+# a 12-bit DC difference (up to +-32760) overflows.
+DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC12_VALS = list(range(16))
 
 
 def _box_down(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
@@ -404,12 +416,15 @@ def _encode(
     quality: int,
     samp: list | None = None,
     progressive: bool = False,
+    prec: int = 8,
 ) -> bytes:
     """Shared encoder: 1 plane (grayscale) or 3 (YCbCr), arbitrary
     integer sampling factors, baseline sequential or progressive
     (spectral selection + successive approximation, libjpeg-style
-    script)."""
+    script).  ``prec`` 8 or 12; 12-bit writes SOF1 (extended
+    sequential) / SOF2, a pq=1 (16-bit) DQT, and the DC12 table."""
     nc = len(planes)
+    center = float(1 << (prec - 1))
     samp = samp or [(1, 1)] * nc
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -423,7 +438,7 @@ def _encode(
         P = np.pad(
             p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
         )
-        zz = _plane_zz(P, qtbl).reshape(mcuy * vs, mcux * hs, 64)
+        zz = _plane_zz(P, qtbl, center).reshape(mcuy * vs, mcux * hs, 64)
         # non-interleaved (progressive AC) scans cover the component's OWN
         # block grid, not the MCU-padded one (T.81 A.2.2)
         cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
@@ -431,7 +446,8 @@ def _encode(
             dict(zz=zz, hs=hs, vs=vs, sbx=-(-cw // 8), sby=-(-ch // 8))
         )
 
-    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    dc_bits, dc_vals = (DC12_BITS, DC12_VALS) if prec == 12 else (DC_BITS, DC_VALS)
+    dc_codes = _build_codes(dc_bits, dc_vals)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -446,16 +462,22 @@ def _encode(
 
     out = b"\xff\xd8"  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(qtbl.astype(np.uint8).ravel()[ZIGZAG]))
+    if prec == 12:
+        out += seg(  # PqTq = (1 << 4) | 0: 16-bit values, table 0
+            0xDB,
+            b"\x10" + qtbl.astype(">u2").ravel()[ZIGZAG].tobytes(),
+        )
+    else:
+        out += seg(0xDB, b"\x00" + bytes(qtbl.astype(np.uint8).ravel()[ZIGZAG]))
     out += seg(
-        0xC2 if progressive else 0xC0,
-        struct.pack(">BHHB", 8, h, w, nc)
+        0xC2 if progressive else (0xC1 if prec == 12 else 0xC0),
+        struct.pack(">BHHB", prec, h, w, nc)
         + b"".join(
             bytes([i + 1, (c["hs"] << 4) | c["vs"], 0])
             for i, c in enumerate(comps)
         ),
     )
-    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
 
     def mcu_blocks(write_block):
         """Walk MCU-interleaved block order, calling write_block(ci, zz)."""
@@ -469,8 +491,11 @@ def _encode(
                             )
 
     if not progressive:
-        ac_codes = _build_codes(AC_BITS, AC_VALS)
-        out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        ac_bits, ac_vals = (
+            (PROG_AC_BITS, PROG_AC_VALS) if prec == 12 else (AC_BITS, AC_VALS)
+        )
+        ac_codes = _build_codes(ac_bits, ac_vals)
+        out += seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
         bw = _BitWriter()
         prev = [0] * nc
 
@@ -551,6 +576,22 @@ def encode_gray(
     h, w = img.shape
     return _encode(
         [img.astype(np.float64)], h, w, quality, progressive=progressive
+    )
+
+
+def encode_gray12(
+    img: np.ndarray, quality: int = 75, progressive: bool = False
+) -> bytes:
+    """12-bit grayscale (h, w) uint16 (values <= 4095) -> extended
+    sequential (SOF1) or progressive (SOF2) JPEG bytes."""
+    img = np.asarray(img)
+    assert img.ndim == 2 and img.dtype == np.uint16, "need (h, w) uint16"
+    if img.max(initial=0) > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    h, w = img.shape
+    return _encode(
+        [img.astype(np.float64)], h, w, quality,
+        progressive=progressive, prec=12,
     )
 
 
@@ -639,13 +680,16 @@ def decode(data: bytes) -> np.ndarray:
                 off += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body)
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit precision")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 must be 8-bit (T.81 B.2.2)")
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append(dict(cid=cid, hs=samp >> 4, vs=samp & 0x0F, tq=tq))
-            sof = dict(h=h, w=w, comps=comps, progressive=marker == 0xC2)
+            sof = dict(h=h, w=w, comps=comps, progressive=marker == 0xC2,
+                       prec=prec)
             hmax = max(c["hs"] for c in comps)
             vmax = max(c["vs"] for c in comps)
             if any(hmax % c["hs"] or vmax % c["vs"] for c in comps):
@@ -859,8 +903,13 @@ def _scan_into(data, pos, sof, scan, huff, restart_interval, coefs):
 
 def _reconstruct(sof, coefs, qtbls):
     """Dequantize + IDCT every component in ONE vectorized pass, upsample
-    to full resolution, color-convert."""
+    to full resolution, color-convert.  Precision-aware: level shift
+    2^(P-1), clip to 2^P - 1, uint8 out for P=8 / uint16 for P=12."""
     h, w, comps = sof["h"], sof["w"], sof["comps"]
+    prec = sof.get("prec", 8)
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    odt = np.uint8 if prec == 8 else np.uint16
     planes = []
     for ci, c in enumerate(comps):
         qt = qtbls[c["tq"]].ravel()
@@ -869,7 +918,7 @@ def _reconstruct(sof, coefs, qtbls):
         nat[:, ZIGZAG] = zz  # zigzag -> natural order, all blocks at once
         blocks = (nat * qt[None, :]).reshape(-1, 8, 8)
         # IDCT-II for every block: X = C.T @ coef @ C
-        pix = np.einsum("xu,nuv,vy->nxy", _C.T, blocks, _C) + 128.0
+        pix = np.einsum("xu,nuv,vy->nxy", _C.T, blocks, _C) + center
         nby, nbx = c["nby"], c["nbx"]
         plane = (
             pix.reshape(nby, nbx, 8, 8)
@@ -880,13 +929,15 @@ def _reconstruct(sof, coefs, qtbls):
         if vfac > 1 or hfac > 1:
             plane = np.repeat(np.repeat(plane, vfac, axis=0), hfac, axis=1)
         planes.append(plane[:h, :w])
-    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in planes]
+    planes = [np.clip(np.round(p), 0, maxv).astype(odt) for p in planes]
     if len(planes) == 1:
         return planes[0]
-    if len(planes) == 3:  # JFIF YCbCr -> RGB
+    if len(planes) == 3:  # JFIF YCbCr -> RGB (chroma centered at 2^(P-1))
         y, cb, cr = (p.astype(np.float64) for p in planes)
-        r = y + 1.402 * (cr - 128)
-        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-        b = y + 1.772 * (cb - 128)
-        return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
+        return np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, maxv
+        ).astype(odt)
     raise NotImplementedError(f"{len(planes)}-component image")

@@ -460,6 +460,111 @@ def bilinear_sample_u16(
     return out
 
 
+# Resample-arithmetic mode for AXIS-ALIGNED sampling grids (the 3857
+# ingest chunker, regrid, overzoom): "sep-f4" (default) evaluates the
+# bilinear form separably in float32 — exactly the same weighted
+# value*mask / mask semantics, ~3x fewer flops and half the memory
+# traffic, at most 1-ulp-of-u16 output drift on half-integer ties;
+# "f8" restores the legacy joint float64 evaluation (bitwise equal to
+# rounds <= 6).  Warp grids (non-3857 CRS) always use the joint f8 path
+# (their FX/FY are genuinely 2-D).  On a cluster, propagate via
+# spark.executorEnv.SPARK_GRAFT_RESAMPLE; local mode inherits the
+# driver's environment.
+def _resample_mode() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_RESAMPLE", "sep-f4")
+
+
+def bilinear_sample_u16_axis(
+    src_u16: np.ndarray,
+    fx: np.ndarray,
+    fy: np.ndarray,
+    nodata_free: bool = False,
+    mode: str | None = None,
+) -> np.ndarray:
+    """:func:`bilinear_sample_u16` for an axis-aligned grid: ``fx`` (W,)
+    per-column and ``fy`` (H,) per-row fractional source coords.  Output
+    (nb, H, W) float with NaN NoData — same semantics as the joint
+    sampler on ``meshgrid(fx, fy)``; arithmetic per ``mode`` (falls back
+    to ``_resample_mode``'s env default)."""
+    if (mode or _resample_mode()) == "f8":
+        FX, FY = np.meshgrid(fx, fy)
+        return bilinear_sample_u16(src_u16, FX, FY, nodata_free=nodata_free)
+    return _bilinear_sep_f4(src_u16, fx, fy, nodata_free)
+
+
+def _bilinear_sep_f4(
+    src_u16: np.ndarray, fx: np.ndarray, fy: np.ndarray, nodata_free: bool
+) -> np.ndarray:
+    """Separable float32 evaluation of the bilinear value*mask / mask
+    form.  The 2-D weight w_ij = wy_i * wx_j is an outer product, so
+    sum(w_ij * v_ij) factors into a horizontal lerp per source row
+    followed by a vertical lerp per output row — identical semantics to
+    the joint form, evaluated with O(H*W) multiply-adds instead of
+    O(4*H*W), on f4 instead of f8 (half the stream bytes).  Gathers stay
+    on the raw uint16 source (2 B/neighbor); only source rows inside the
+    grid's row support are touched."""
+    nb, h, w = src_u16.shape
+    x0 = np.floor(fx).astype("i8")
+    y0 = np.floor(fy).astype("i8")
+    tx = (fx - x0).astype("f4")
+    ty = (fy - y0).astype("f4")
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    r0 = int(min(y0c.min(), y1c.min()))
+    r1 = int(max(y0c.max(), y1c.max())) + 1
+    sub = src_u16[:, r0:r1, :]
+    g0 = sub[:, :, x0c]
+    g1 = sub[:, :, x1c]
+    i0 = y0c - r0
+    i1 = y1c - r0
+    wy1 = ty[:, None]
+    # lerp form a + t*(b-a) with in-place accumulation: one (nb, rh, W)
+    # f4 temporary per plane instead of four, u16*f4 promoting straight
+    # to f4 (no materialized casts)
+    f0 = g0.astype("f4")
+    hnum = g1.astype("f4")
+    hnum -= f0
+    hnum *= tx
+    hnum += f0  # (nb, rh, W)
+    h0 = hnum[:, i0, :]
+    num = hnum[:, i1, :]
+    num -= h0
+    num *= wy1
+    num += h0
+    if nodata_free:
+        # all masks are 1: den = lerp of 1-vectors — exactly 1.0 in the
+        # lerp form (1 + t*(1-1)); x / 1.0 is the IEEE identity, so the
+        # division is skipped outright
+        out = num
+    else:
+        m0 = (g0 != NODATA_U16).astype("f4")
+        hden = (g1 != NODATA_U16).astype("f4")
+        hden -= m0
+        hden *= tx
+        hden += m0
+        d0 = hden[:, i0, :]
+        den = hden[:, i1, :]
+        den -= d0
+        den *= wy1
+        den += d0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = num / den
+        bad = den <= 0
+        if bad.any():
+            out[bad] = np.nan
+    oobx = (fx < -0.5) | (fx > w - 0.5)
+    ooby = (fy < -0.5) | (fy > h - 0.5)
+    if oobx.any():
+        out[:, :, oobx] = np.nan
+    if ooby.any():
+        out[:, ooby, :] = np.nan
+    return out
+
+
 def regrid_to_extent(
     src_u16: np.ndarray,
     src_extent,
@@ -483,8 +588,7 @@ def regrid_to_extent(
     py = dymax - (np.arange(H, dtype="f8") + 0.5) * dch
     fx = (px - sxmin) / cw - 0.5
     fy = (symax - py) / ch - 0.5
-    FX, FY = np.meshgrid(fx, fy)
-    return from_double(bilinear_sample_u16(src_u16, FX, FY))
+    return from_double(bilinear_sample_u16_axis(src_u16, fx, fy))
 
 
 def warp_to_extent(
@@ -527,6 +631,7 @@ def split_to_tiles_cropped(
     tile_range,
     tile_size: int = 256,
     src_crs: str = "EPSG:3857",
+    resample: str | None = None,
 ):
     """Regrid a scene onto the aligned tile grid covering it and yield
     ((col, row), (ox, oy), (bands, fh, fw) uint16) CROPPED fragments —
@@ -581,7 +686,13 @@ def split_to_tiles_cropped(
                     continue
                 j0, j1 = int(jv[0]), int(jv[-1]) + 1
                 i0, i1 = int(iv[0]), int(iv[-1]) + 1
-                FX, FY = np.meshgrid(fx[j0:j1], fy[i0:i1])
+                yield (c, r), (j0, i0), from_double(
+                    bilinear_sample_u16_axis(
+                        src_u16, fx[j0:j1], fy[i0:i1],
+                        nodata_free=ndf, mode=resample,
+                    )
+                )
+                continue
             else:
                 PX, PY = np.meshgrid(px, py)
                 UX, UY = _proj.mercator_to_crs(PX.ravel(), PY.ravel(), src_crs)
@@ -638,6 +749,7 @@ def split_to_tiles(
     tile_range,
     tile_size: int = 256,
     src_crs: str = "EPSG:3857",
+    resample: str | None = None,
 ):
     """Full-tile form of :func:`split_to_tiles_cropped`: yields
     ((col, row), (bands, ts, ts) uint16), each fragment padded back onto
@@ -646,7 +758,7 @@ def split_to_tiles(
     (oracle parity, tests/test_core.py) — the crop excludes exactly the
     pixels the sampler NaNs."""
     for (c, r), (ox, oy), arr in split_to_tiles_cropped(
-        src_u16, src_extent, zoom, tile_range, tile_size, src_crs
+        src_u16, src_extent, zoom, tile_range, tile_size, src_crs, resample
     ):
         yield (c, r), pad_to_tile(arr, ox, oy, tile_size)
 

@@ -6,9 +6,10 @@ LandsatInput.scala:24`` (``getRasterFromS3`` / ``getFromGoogle``) hands
 GeoTrellis a GeoTIFF per band, which GeoTrellis's own reader decodes.
 This module is the engine's built-in equivalent, sized like the baseline
 JPEG codec (core.jpeg): enough of TIFF 6.0 + the GeoTIFF extension to
-read real uncompressed / deflate / LZW / PackBits Landsat-style rasters
-out of the box, with the honest ``NotImplementedError`` seam for the
-exotic variants (JPEG-in-TIFF, planar separate) a user can cover via
+read real uncompressed / deflate / LZW / PackBits / JPEG-in-TIFF
+(TechNote 2, 8- AND 12-bit, chunky or planar) Landsat-style rasters out
+of the box, with the honest ``NotImplementedError`` seam for anything
+else a user can cover via
 :func:`operators.multimodal.register_decoder`.
 
 Coverage:
@@ -144,7 +145,7 @@ def _jpeg_block(
         raise ValueError(
             f"JPEG block has {arr.shape[2]} samples, IFD says {spp}"
         )
-    out = np.zeros((bh, bw, spp), dtype=np.uint8)
+    out = np.zeros((bh, bw, spp), dtype=arr.dtype)
     ys, xs = min(bh, arr.shape[0]), min(bw, arr.shape[1])
     out[:ys, :xs] = arr[:ys, :xs]
     return out
@@ -325,14 +326,14 @@ def read(data: bytes):
     planar = int(ifd.get(_T_PLANAR, [1])[0])
     if planar not in (1, 2):
         raise NotImplementedError(f"PlanarConfiguration {planar}")
-    if planar == 2 and comp == _COMP_JPEG:
-        raise NotImplementedError("planar (separate) with JPEG blocks")
     if pred not in (1, 2):
         raise NotImplementedError(f"predictor {pred}")
     dt = {
         (8, 1): "u1", (16, 1): "u2", (32, 1): "u4",
         (16, 2): "i2", (32, 2): "i4", (32, 3): "f4", (64, 3): "f8",
     }.get((bits, fmt))
+    if comp == _COMP_JPEG and bits == 12 and fmt == 1:
+        dt = "u2"  # 12-bit JPEG blocks decode into uint16 samples
     if dt is None:
         raise NotImplementedError(f"bits={bits} sample_format={fmt}")
     if pred == 2 and dt in ("f4", "f8"):
@@ -348,7 +349,7 @@ def read(data: bytes):
     elif comp == _COMP_NONE:
         inflate = lambda b, want: b  # noqa: E731
     elif comp == _COMP_JPEG:
-        if bits != 8:
+        if bits not in (8, 12):
             raise NotImplementedError(f"JPEG-in-TIFF at {bits} bits")
         inflate = None  # decoded straight to pixels in blocks()
     else:
@@ -518,10 +519,16 @@ def encode(
         "packbits": _COMP_PACKBITS, "lzw": _COMP_LZW,
         "jpeg": _COMP_JPEG,
     }[compression]
+    jpeg12 = False
     if comp_code == _COMP_JPEG:
-        if img.dtype != np.uint8 or spp not in (1, 3):
+        if img.dtype == np.uint16 and (spp == 1 or planar == 2):
+            if img.max(initial=0) > 4095:
+                raise ValueError("12-bit JPEG-in-TIFF samples must be <= 4095")
+            jpeg12 = True
+            bits = 12  # BitsPerSample 12, samples ride uint16 arrays
+        elif img.dtype != np.uint8 or spp not in (1, 3):
             raise NotImplementedError(
-                "JPEG-in-TIFF needs uint8 gray or RGB samples"
+                "JPEG-in-TIFF needs uint8 gray / RGB or uint16 gray samples"
             )
         if predictor != 1:
             raise ValueError("predictor does not apply to JPEG blocks")
@@ -530,7 +537,9 @@ def encode(
         if comp_code == _COMP_JPEG:
             from . import jpeg
 
-            if spp == 1:
+            if jpeg12:
+                return jpeg.encode_gray12(block[:, :, 0], quality=quality)
+            if block.shape[2] == 1:  # gray image OR one planar plane
                 return jpeg.encode_gray(block[:, :, 0], quality=quality)
             return jpeg.encode_rgb(block, quality=quality)
         if predictor == 2:
@@ -546,8 +555,6 @@ def encode(
 
     if planar not in (1, 2):
         raise ValueError(f"PlanarConfiguration {planar}")
-    if planar == 2 and comp_code == _COMP_JPEG:
-        raise NotImplementedError("planar separate with JPEG blocks")
 
     def block_payloads(plane: np.ndarray) -> list[bytes]:
         ph, pw, pspp = plane.shape

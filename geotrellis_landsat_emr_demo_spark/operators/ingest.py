@@ -62,16 +62,108 @@ _PARTIAL_SCHEMA = (
 )
 
 
+class _RangeFile:
+    """Seekable file-like over a core.cog RangeReader — lets
+    pyarrow.parquet.ParquetFile read a parquet object through ranged
+    GETs (footer, then only the pruned row groups), i.e. the exact S3
+    access pattern of the reference's in-task fetch
+    (LandsatInput.scala:23-27)."""
+
+    def __init__(self, rd):
+        self._rd = rd
+        self._pos = 0
+
+    def seek(self, off, whence=0):
+        if whence == 0:
+            self._pos = off
+        elif whence == 1:
+            self._pos += off
+        else:
+            self._pos = self._rd.size() + off
+        return self._pos
+
+    def tell(self):
+        return self._pos
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = self._rd.size() - self._pos
+        b = self._rd.read(self._pos, n)
+        self._pos += len(b)
+        return b
+
+    def size(self):
+        return self._rd.size()
+
+    def seekable(self):
+        return True
+
+    def readable(self):
+        return True
+
+    def writable(self):
+        return False
+
+    def close(self):
+        pass
+
+    @property
+    def closed(self):
+        return False
+
+
+def _fetch_payloads_http(urls: list, ids: list) -> dict:
+    """Pointer fetch over HTTP(S): each url is a catalog parquet object
+    served with Range support.  Row groups are pruned by image_id
+    min/max footer stats (ids are written sorted, so a task's contiguous
+    id range maps to a contiguous run of groups); only surviving groups
+    ride the wire."""
+    import pyarrow.parquet as pq
+
+    from ..core.cog import HttpRangeReader
+
+    want = set(ids)
+    lo, hi = min(ids), max(ids)
+    out: dict = {}
+    for url in urls:
+        f = pq.ParquetFile(_RangeFile(HttpRangeReader(url)))
+        md = f.metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idc = names.index("image_id")
+        groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idc).statistics
+            if st is not None and st.has_min_max and (
+                st.max < lo or st.min > hi
+            ):
+                continue
+            groups.append(g)
+        if not groups:
+            continue
+        tbl = f.read_row_groups(groups, columns=["image_id", "bytes"])
+        for iid, by in zip(
+            tbl["image_id"].to_pylist(), tbl["bytes"].to_pylist()
+        ):
+            if iid in want:
+                out[iid] = by
+    return out
+
+
 def _fetch_payloads(paths: list, ids: list) -> dict:
     """Worker-side payload fetch: read ``bytes`` for the given image_ids
     straight from the catalog's parquet files via pyarrow, with row-group
     stat pruning on image_id.  The 100 TB pattern (the reference fetches
     scene rasters from S3 inside the task, LandsatInput.scala:23-27):
     payloads never enter the JVM, never ride an Arrow IPC batch, and
-    never shuffle — Spark moves only slim metadata."""
+    never shuffle — Spark moves only slim metadata.  ``http(s)://``
+    paths fetch through ranged GETs (:func:`_fetch_payloads_http`) —
+    the object-store deployment itself."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
+
+    if paths and str(paths[0]).startswith(("http://", "https://")):
+        return _fetch_payloads_http(paths, ids)
 
     # Every executor python worker runs this concurrently: pyarrow's
     # default pools are sized to ALL machine cores per process, so 32
@@ -89,7 +181,8 @@ def _fetch_payloads(paths: list, ids: list) -> dict:
     return dict(zip(tbl["image_id"].to_pylist(), tbl["bytes"].to_pylist()))
 
 
-def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16", payload_files: list | None = None):
+def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16", payload_files: list | None = None,
+              resample: str | None = None):
     """mapInPandas fn: one images batch -> fragment rows for every
     zoom-``zoom`` tile the scene footprint covers.
 
@@ -122,7 +215,8 @@ def _chunk_fn(zoom: int, frag_fmt: str = "npy-u16", payload_files: list | None =
                 trange = tiling.extent_to_tile_range(*ext_3857, zoom)
                 # single gather for the whole covering block, sliced per tile
                 for (c, r), (ox, oy), tile in kernels.split_to_tiles_cropped(
-                    arr, ext, zoom, trange, TILE_SIZE, src_crs=crs
+                    arr, ext, zoom, trange, TILE_SIZE, src_crs=crs,
+                    resample=resample,
                 ):
                     out["x"].append(c)
                     out["y"].append(r)
@@ -173,7 +267,8 @@ def _merge_fn(layer: str, zoom: int, store_fmt: str):
 
 
 def _chunk_premerge_fn(
-    zoom: int, frag_fmt: str = "npy-u16", payload_files: list | None = None
+    zoom: int, frag_fmt: str = "npy-u16", payload_files: list | None = None,
+    resample: str | None = None,
 ):
     """Map-side-combining chunk: like :func:`_chunk_fn` but fragments that
     share a (x, y, ts) key WITHIN the task are pre-merged with the ranked
@@ -203,7 +298,8 @@ def _chunk_premerge_fn(
                 ext_3857 = proj.extent_to_mercator(ext, crs)
                 trange = tiling.extent_to_tile_range(*ext_3857, zoom)
                 for (c, r), (ox, oy), tile in kernels.split_to_tiles_cropped(
-                    arr, ext, zoom, trange, TILE_SIZE, src_crs=crs
+                    arr, ext, zoom, trange, TILE_SIZE, src_crs=crs,
+                    resample=resample,
                 ):
                     groups.setdefault((c, r, row.ts), []).append(
                         (tile, (ox, oy), row.image_id, row.caption)
@@ -659,6 +755,8 @@ def ingest_images(
     frag_fmt: str = "npy-u16",
     source_partitioning: str = "auto",
     payload_source: str = "auto",
+    resample: str | None = None,
+    payload_files: list | None = None,
 ) -> dict:
     """Run the full ingest; resumable (skips stages whose completion marker
     is already committed).  Returns metrics {stage: {rows, wall_s, ...}}.
@@ -679,6 +777,10 @@ def ingest_images(
     shuffle (file-split parallelism), "roundrobin" = exact-balance
     repartition of the source rows, "auto" = roundrobin unless the scan
     is already >= 4 splits per task slot.
+
+    ``resample``: chunk-kernel arithmetic for axis-aligned grids —
+    "sep-f4" (default, separable float32 lerp) or "f8" (legacy joint
+    float64, bitwise round-<=6 output); see kernels._resample_mode.
     """
     # payload_source="pointer": Spark plans over SLIM scene metadata only;
     # each chunk task fetches its scenes' bytes straight from the catalog
@@ -695,8 +797,13 @@ def ingest_images(
     # §r6); its value is the object-store deployment, where each
     # executor's fetch rides its own NIC and the payloads never cross
     # the cluster twice.  "auto" therefore resolves to inline.
-    payload_files = None
-    if payload_source == "pointer" and images_df is None:
+    # explicit payload_files (e.g. http(s) URLs of the catalog parquet —
+    # the object-store shape) wins; else pointer mode derives local paths
+    if payload_files is not None:
+        if payload_source not in ("pointer", "auto"):
+            raise ValueError("payload_files requires payload_source='pointer'")
+        payload_source = "pointer"
+    elif payload_source == "pointer" and images_df is None:
         payload_files = [p for p, _ in cat.file_entries("images")] or None
     if images_df is None:
         images_df = cat.read_spark(spark, "images")
@@ -754,7 +861,7 @@ def ingest_images(
             # explicit salting: partial within (key, salt), final across
             # salts — for reduce-side skew beyond what the combiner absorbs
             frags = src.mapInPandas(
-                _chunk_fn(max_zoom, frag_fmt, payload_files),
+                _chunk_fn(max_zoom, frag_fmt, payload_files, resample),
                 schema=FRAGMENT_SCHEMA,
             )
             salted = frags.withColumn(
@@ -767,7 +874,7 @@ def ingest_images(
             # default: map-side combine inside the chunk task (partial
             # aggregation), final merge after one shuffle
             partials = src.mapInPandas(
-                _chunk_premerge_fn(max_zoom, frag_fmt, payload_files),
+                _chunk_premerge_fn(max_zoom, frag_fmt, payload_files, resample),
                 schema=_PARTIAL_SCHEMA,
             )
         tiles = _merge_partials(partials, layer, max_zoom, store_fmt)

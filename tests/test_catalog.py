@@ -177,3 +177,152 @@ def test_expire_snapshots_and_orphans(tmp_path):
     # aged + still uncommitted -> removed by the next run
     os.utime(staged, (time.time() - 10, time.time() - 10))
     assert cat.expire_snapshots(keep_last=1, older_than_s=5)["files_removed"] == 1
+
+
+# ---------------------------------------------------------------- iceberg --
+
+
+class _FakeDF:
+    """Records the DataFrameWriterV2 call chain (writeTo -> append/create)."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def writeTo(self, ident):
+        self.log.append(("writeTo", ident))
+        return self
+
+    def append(self):
+        self.log.append(("append",))
+
+    def create(self):
+        self.log.append(("create",))
+
+    def createOrReplace(self):
+        self.log.append(("createOrReplace",))
+
+
+class _FakeRow:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+class _FakeSpark:
+    """Just enough SparkSession surface to compile-check the adapter's
+    identifier construction and SQL text offline (the runtime jar is not
+    fetchable in this sandbox)."""
+
+    def __init__(self):
+        self.sqls = []
+        self.tables = {"local.engine.images"}
+
+        class _Cat:
+            def tableExists(_s, ident):
+                return ident in self.tables
+
+        self.catalog = _Cat()
+
+        class _Reader:
+            def __init__(_s):
+                _s.opts = {}
+
+            def option(_s, k, v):
+                _s.opts[k] = v
+                return _s
+
+            def table(_s, ident):
+                return ("read_at", ident, dict(_s.opts))
+
+        self._reader_cls = _Reader
+
+    @property
+    def read(self):
+        return self._reader_cls()
+
+    def sql(self, stmt):
+        self.sqls.append(stmt)
+
+        class _Res:
+            def collect(_s):
+                if ".snapshots" in stmt:
+                    return [_FakeRow(snapshot_id=42)]
+                if ".history" in stmt:
+                    return [_FakeRow(snapshot_id=41), _FakeRow(snapshot_id=42)]
+                return []
+
+        return _Res()
+
+    def table(self, ident):
+        return ("table", ident)
+
+
+def test_iceberg_adapter_compile_check():
+    """VERDICT r6 task 7: the Catalog -> Iceberg swap, verified up to the
+    jar boundary — identifier construction, DataFrameWriterV2 call
+    chain, snapshot/history/rollback/expire SQL text — all via the
+    public Iceberg Spark surface, no live JVM needed."""
+    import pytest
+
+    from geotrellis_landsat_emr_demo_spark.sources import iceberg as ib
+
+    conf = ib.session_conf("/tmp/wh")
+    assert conf["spark.jars.packages"].startswith("org.apache.iceberg:")
+    assert conf["spark.sql.catalog.local.type"] == "hadoop"
+
+    fs = _FakeSpark()
+    cat = ib.IcebergCatalog(fs, "local", "engine")
+    assert cat.identifier("tiles") == "local.engine.tiles"
+    with pytest.raises(ValueError):
+        cat.identifier("tiles; drop table x")
+
+    # append on existing table -> writeTo().append(); new -> create()
+    log = []
+    cat.append_spark(_FakeDF(log), "images")
+    assert ("writeTo", "local.engine.images") in log and ("append",) in log
+    log2 = []
+    cat.append_spark(_FakeDF(log2), "tiles")
+    assert ("create",) in log2 and ("append",) not in log2
+
+    # snapshot/history/read_at/rollback statements
+    assert cat.snapshot_id("images") == 42
+    assert cat.history("images") == [41, 42]
+    assert cat.read_at("images", 41) == (
+        "read_at", "local.engine.images", {"snapshot-id": 41},
+    )
+    cat.rollback("images", 41)
+    assert any(
+        "CALL local.system.rollback_to_snapshot('engine.images', 41)" in s
+        for s in fs.sqls
+    )
+    cat.expire_snapshots("images", keep_last=2, older_than_s=60)
+    assert any("system.expire_snapshots" in s and "retain_last => 2" in s for s in fs.sqls)
+    assert any("system.remove_orphan_files" in s for s in fs.sqls)
+    assert any("TIMESTAMP '" in s for s in fs.sqls)
+
+
+def test_iceberg_live_swap_if_available():
+    """Full live swap when the Iceberg runtime jar is resolvable (it is
+    not in this offline sandbox — the test then skips, documenting the
+    exact deployment config)."""
+    import pytest
+
+    from geotrellis_landsat_emr_demo_spark.sources import iceberg as ib
+
+    wh = os.path.join(SCRATCH, "iceberg-wh")
+    shutil.rmtree(wh, ignore_errors=True)
+    spark = ib.try_build_session(wh)
+    if spark is None:
+        pytest.skip("Iceberg runtime jar not resolvable (offline sandbox)")
+    try:
+        cat = ib.IcebergCatalog(spark)
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        cat.append_spark(df, "t")
+        assert sorted(r.id for r in cat.read_spark(spark, "t").collect()) == [1, 2]
+        s1 = cat.snapshot_id("t")
+        cat.append_spark(df, "t")
+        assert cat.read_spark(spark, "t").count() == 4
+        assert cat.read_at("t", s1).count() == 2
+        cat.rollback("t", s1)
+        assert cat.read_spark(spark, "t").count() == 2
+    finally:
+        spark.stop()

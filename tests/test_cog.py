@@ -224,10 +224,16 @@ def test_jpeg_striped_tiff_read():
 
 
 def test_jpeg_tiff_rejects_wrong_dtype():
-    with pytest.raises(NotImplementedError, match="uint8"):
+    # uint16 gray IS valid now (12-bit SOF1 tiles) — but only <= 4095
+    with pytest.raises(ValueError, match="4095"):
         cog.write_cog(_img(64, 64, "u2"), geo=GEO, compression="jpeg")
-    with pytest.raises(NotImplementedError, match="uint8"):
+    with pytest.raises(ValueError, match="4095"):
         tiff.encode(_img(64, 64, "u2"), compression="jpeg")
+    # float / uint16 RGB stay refused
+    with pytest.raises(NotImplementedError, match="uint8|uint16"):
+        cog.write_cog(_img(64, 64, "f4"), geo=GEO, compression="jpeg")
+    with pytest.raises(NotImplementedError, match="uint8|uint16"):
+        tiff.encode(_img(64, 64, "u2", bands=3), compression="jpeg")
 
 
 def test_jpeg_tables_splice_decodes_abbreviated_streams():
@@ -330,6 +336,40 @@ def test_cog_scenes_window_matches_fixture(spark, cog_dir):
     # the scale property: the AOI read cost a fraction of the file
     assert r0.bytes_read < 0.45 * r0.file_bytes
     assert r0.crs == s0["crs"]
+
+
+def test_cog_scenes_12bit_jpeg_window(spark, tmp_path):
+    """cog_window_scan-style read of a 12-bit JPEG-tile COG (SOF1
+    streams, BitsPerSample 12 — the real remote-sensing archive
+    precision) through the Spark source: windowed rows decode to uint16
+    payloads matching a direct CogReader window of the same file."""
+    from geotrellis_landsat_emr_demo_spark.core import kernels
+    from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
+
+    xs = np.linspace(0, 3, 512)
+    img12 = (2000 + 1500 * np.sin(np.outer(xs, xs))).clip(0, 4095).astype(np.uint16)
+    x0, y1 = 500_000.0, 4_100_000.0
+    data = cog.write_cog(
+        img12[:, :, None], compression="jpeg", quality=95, tile=(128, 128),
+        geo=dict(pixel_scale=(30.0, 30.0), tiepoint=(0, 0, 0, x0, y1, 0),
+                 epsg=3857, projected=True),
+    )
+    path = tmp_path / "scene12__1700000000000.tif"
+    path.write_bytes(data)
+    # AOI: central quarter of the scene, in the file's (3857) CRS
+    aoi = (x0 + 3840, y1 - 11520, x0 + 11520, y1 - 3840)
+    rows = cogsrc.cog_scenes(spark, [str(path)], aoi=aoi).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    arr = kernels.decode_payload(row.bytes)
+    assert arr.dtype == np.uint16
+    # reference: direct CogReader window over the same extent
+    ref, actual, level = cog.CogReader(
+        cog.FileRangeReader(str(path))
+    ).window_by_extent(aoi)
+    ref = ref[:, :, 0] if ref.ndim == 3 else ref
+    assert np.array_equal(arr[0], ref)
+    assert level == 0 and row.bytes_read < row.file_bytes
 
 
 def test_cog_scenes_inventory_prefilter_and_resolution(spark, cog_dir):

@@ -298,6 +298,46 @@ def test_bilinear_identity_and_gradient():
     assert 10 * np.log10(65535.0**2 / mse) >= 40
 
 
+def test_separable_f4_sampler_contract():
+    """The axis-aligned separable-f4 resample path (default) vs the
+    legacy joint-f8 path: identical NaN/NoData mask, value drift bounded
+    by 1 u16 step (half-integer ties under f4 rounding), and the
+    nodata_free fast path bitwise-equal to the masked path on a
+    NoData-free source."""
+    import os
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 65535, size=(4, 192, 192)).astype(np.uint16)
+    src[:, 30:40, 20:120] = 0  # NoData patch
+    fx = np.linspace(-3.0, 194.0, 123)  # straddles oob on both sides
+    fy = np.linspace(-2.0, 193.5, 87)
+    prev = os.environ.get("SPARK_GRAFT_RESAMPLE")
+    try:
+        os.environ["SPARK_GRAFT_RESAMPLE"] = "f8"
+        a = K.bilinear_sample_u16_axis(src, fx, fy)
+        os.environ["SPARK_GRAFT_RESAMPLE"] = "sep-f4"
+        b = K.bilinear_sample_u16_axis(src, fx, fy)
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_RESAMPLE", None)
+        else:
+            os.environ["SPARK_GRAFT_RESAMPLE"] = prev
+    assert (np.isnan(a) == np.isnan(b)).all()
+    ua, ub = K.from_double(a), K.from_double(b)
+    diff = np.abs(ua.astype("i8") - ub.astype("i8"))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.01  # ties are rare
+    # nodata_free == masked, bitwise, on a NoData-free source (sep path:
+    # the mask lerp is exactly 1.0, and x/1.0 is the IEEE identity)
+    src2 = np.clip(src, 1, None)
+    nf = K.bilinear_sample_u16_axis(src2, fx, fy, nodata_free=True)
+    mk = K.bilinear_sample_u16_axis(src2, fx, fy, nodata_free=False)
+    assert np.array_equal(K.from_double(nf), K.from_double(mk))
+    # identity grid is exact in BOTH modes (weights are exactly {0, 1})
+    out = K.regrid_to_extent(src2, (0, 0, 192, 192), (0, 0, 192, 192), (192, 192))
+    assert (out == src2).all()
+
+
 def test_downsample_nan_aware():
     child = np.full((1, 4, 4), np.nan)
     child[0, 0, 0] = 100.0

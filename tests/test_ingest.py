@@ -408,3 +408,71 @@ def test_pointer_payload_source_bitwise_equals_inline(spark):
         assert (
             K.decode_payload(ra.tile) == K.decode_payload(rb.tile)
         ).all(), (ra.zoom, ra.x, ra.y)
+
+
+def test_pointer_payload_over_http_bitwise_equals_inline(spark):
+    """payload_files as http:// URLs: workers fetch scene bytes through
+    ranged GETs on the catalog parquet (footer + pruned row groups only
+    — the S3 deployment shape, LandsatInput.scala:23-27) and the tiles
+    are BITWISE those of the inline path."""
+    import http.server
+    import threading
+
+    outs = {}
+    # inline reference
+    root = os.path.join(SCRATCH, "ptrhttp-inline")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    fixtures.write_all(cat, "t-small")
+    ingest.ingest_images(
+        spark, cat, "landsat", max_zoom=13, min_zoom=13, payload_source="inline"
+    )
+    outs["inline"] = (
+        cat.read_pandas("tiles").sort_values(["zoom", "x", "y"]).reset_index(drop=True)
+    )
+    # http pointer: serve the images table dir, hand URLs to the workers
+    root = os.path.join(SCRATCH, "ptrhttp-http")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    fixtures.write_all(cat, "t-small")
+    images_dir = cat.table_dir("images")
+
+    class H(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=images_dir, **kw)
+
+        def log_message(self, *a):
+            pass
+
+    # SimpleHTTPRequestHandler has no Range support -> use the reader's
+    # 200-fallback? No: ranged GETs are the point; serve via the
+    # range-capable handler from test_cog.
+    from test_cog import _RangeHandler
+
+    log = []
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _RangeHandler.make(images_dir, log)
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        urls = [
+            f"{base}/{os.path.basename(p)}"
+            for p, _ in cat.file_entries("images")
+        ]
+        ingest.ingest_images(
+            spark, cat, "landsat", max_zoom=13, min_zoom=13,
+            payload_files=urls,
+        )
+    finally:
+        httpd.shutdown()
+    outs["http"] = (
+        cat.read_pandas("tiles").sort_values(["zoom", "x", "y"]).reset_index(drop=True)
+    )
+    a, b = outs["http"], outs["inline"]
+    assert len(a) == len(b) and len(a) > 0
+    for (_, ra), (_, rb) in zip(a.iterrows(), b.iterrows()):
+        assert (ra.x, ra.y, ra.zoom, ra.image_id) == (rb.x, rb.y, rb.zoom, rb.image_id)
+        assert (K.decode_payload(ra.tile) == K.decode_payload(rb.tile)).all()
+    # the server-side log proves ranged access, not whole-file streaming
+    assert log, "no ranged requests hit the HTTP server"

@@ -109,6 +109,50 @@ def test_chroma_subsampling_baseline():
         assert psnr(img, out) >= 30, (h, w)
 
 
+def test_12bit_roundtrip_seq_and_progressive():
+    """12-bit precision (SOF1 extended sequential / SOF2 progressive):
+    uint16 out, PSNR gate at the 4095 scale, DC12 Huffman categories
+    (sizes > 11, which the 8-bit Annex K DC table cannot encode)
+    exercised by full-range block-to-block jumps."""
+    rng = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:80, 0:96]
+    img = (
+        2048 + 1900 * np.sin(yy / 6.0) * np.cos(xx / 8.0)
+        + rng.normal(0, 6, (80, 96))
+    ).clip(0, 4095).astype(np.uint16)
+    # checkerboard of extreme blocks: DC diffs swing +-~32000 -> DC
+    # categories 14-15, the ones unique to 12-bit
+    img[0:8, 0:8] = 0
+    img[0:8, 8:16] = 4095
+    img[8:16, 0:8] = 4095
+    img[8:16, 8:16] = 0
+    for prog in (False, True):
+        enc = jpeg.encode_gray12(img, quality=95, progressive=prog)
+        out = jpeg.decode(enc)
+        assert out.dtype == np.uint16 and out.shape == img.shape
+        mse = ((out.astype("f8") - img) ** 2).mean()
+        assert 10 * np.log10(4095.0**2 / mse) >= 50, ("prog" if prog else "seq")
+    # SOF marker is C1 (extended sequential), not C0 (baseline is 8-bit
+    # only per T.81 B.2.2)
+    seq = jpeg.encode_gray12(img, quality=95)
+    assert b"\xff\xc1" in seq and b"\xff\xc0" not in seq
+    # and a stream claiming 12-bit under SOF0 is rejected
+    bad = bytearray(seq)
+    bad[bad.index(b"\xff\xc1") + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0"):
+        jpeg.decode(bytes(bad))
+    # samples over 4095 refuse at the API edge
+    with pytest.raises(ValueError, match="4095"):
+        jpeg.encode_gray12(np.full((8, 8), 4096, np.uint16))
+
+
+def test_12bit_flat_image_lossless():
+    """A flat 12-bit field quantizes to all-zero AC + constant DC ->
+    bit-exact roundtrip, pinning the level shift at 2048 (not 128)."""
+    img = np.full((32, 40), 3333, np.uint16)
+    assert (jpeg.decode(jpeg.encode_gray12(img, quality=90)) == img).all()
+
+
 def test_not_a_jpeg_rejected():
     # ValueError (not assert) so validation survives `python -O`
     with pytest.raises(ValueError, match="SOI"):

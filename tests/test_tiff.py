@@ -370,7 +370,57 @@ def test_planar_separate_predictor_and_chunky_equivalence():
     assert (a == img).all() and (b == img).all()
 
 
-def test_planar_jpeg_refused():
-    img = _img(dtype=np.uint8, channels=3)
-    with pytest.raises(NotImplementedError, match="planar"):
-        tiff.encode(img, compression="jpeg", planar=2)
+def test_planar_jpeg_roundtrip():
+    """planar=2 + comp 7: each plane's blocks are standalone grayscale
+    JPEG streams (plane-major offsets) — the last TIFF seam from VERDICT
+    r6.  Lossy, so gate on PSNR, and pin that the planar and chunky-gray
+    encodings of one plane decode identically (same stream bytes)."""
+    rng = np.random.default_rng(12)
+    sm = rng.integers(0, 255, (96, 80, 3)).astype("f8")
+    for _ in range(3):  # smooth: JPEG-friendly content
+        sm[1:-1, 1:-1] = (
+            sm[:-2, 1:-1] + sm[2:, 1:-1] + sm[1:-1, :-2]
+            + sm[1:-1, 2:] + sm[1:-1, 1:-1]
+        ) / 5
+    img = sm.clip(0, 255).astype(np.uint8)
+    enc = tiff.encode(img, compression="jpeg", quality=95, planar=2)
+    out, meta = tiff.read(enc)
+    assert meta["planar"] == 2 and meta["compression"] == 7
+    mse = ((out.astype("f8") - img) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) >= 38
+    # plane-level determinism: planar plane 0 decodes exactly like the
+    # same plane encoded as a chunky grayscale JPEG TIFF
+    g, _ = tiff.read(tiff.encode_gray(img[:, :, 0], compression="jpeg", quality=95))
+    assert np.array_equal(out[:, :, 0], np.squeeze(g))
+
+
+def test_jpeg12_in_tiff_roundtrip_and_planar_multiband():
+    """comp 7 at 12-bit precision (SOF1 extended sequential inside the
+    blocks) — the precision real remote-sensing JPEG-in-TIFF archives
+    use; the reference decodes it through libjpeg inside GeoTrellis's
+    reader (ingest/.../LandsatInput.scala:23-27).  Striped + tiled +
+    planar 4-band, PSNR-gated, BitsPerSample=12 surfaced, uint16 out."""
+    rng = np.random.default_rng(13)
+    xs = np.linspace(0, 3, 128)
+    img12 = (
+        2000 + 1800 * np.sin(np.outer(xs, xs)) + rng.normal(0, 8, (128, 128))
+    ).clip(0, 4095).astype(np.uint16)
+
+    def psnr(a, b):
+        return 10 * np.log10(4095.0**2 / ((a.astype("f8") - b) ** 2).mean())
+
+    for kw in (dict(), dict(tiled=True, tile=(64, 64))):
+        enc = tiff.encode_gray(img12, compression="jpeg", quality=95, **kw)
+        dec, meta = tiff.read(enc)
+        assert meta["bits"] == 12 and meta["dtype"] == "uint16"
+        assert psnr(np.squeeze(dec), img12) >= 55
+    # planar 4-band 12-bit (each plane its own SOF1 stream)
+    mb = np.stack([img12, img12 // 2, img12 // 3, img12 // 4], axis=-1)
+    enc = tiff.encode(mb, compression="jpeg", quality=95, planar=2,
+                      tiled=True, tile=(64, 64))
+    dec, meta = tiff.read(enc)
+    assert meta["bits"] == 12 and meta["planar"] == 2
+    assert psnr(dec, mb) >= 55
+    # >12-bit samples refuse (would silently wrap inside the codec)
+    with pytest.raises(ValueError, match="4095"):
+        tiff.encode_gray(np.full((8, 8), 5000, np.uint16), compression="jpeg")

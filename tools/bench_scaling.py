@@ -198,14 +198,18 @@ def joins_job(spark, sf_dir: str) -> dict:
     # dedup entries (production shape); the SCALING suite must execute
     # the full pipeline every pass, so drop the memo per measurement
     entry._PAIRS_MEMO.clear()
+    per_q = {}
     for name in JOIN_QUERIES:
+        tq = time.time()
         rows += qs[name](spark, sf_dir).count()
+        per_q[name] = round(time.time() - tq, 3)
     wall = time.time() - t0
     nin = sum(
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
         for t in ("events", "documents", "embeddings")
     )
-    return dict(join_out_rows=rows, join_wall=wall, join_rows_per_sec=nin / wall)
+    return dict(join_out_rows=rows, join_wall=wall, join_rows_per_sec=nin / wall,
+                join_per_query=per_q)
 
 
 def cpu_job(spark, sf_dir: str, target_docs: int = 400_000) -> dict:
@@ -338,13 +342,27 @@ def main():
             for a, b in zip(obs[8], obs[32])
         ]
 
+    # Code-vs-ceiling is the recorded north-rule metric (VERDICT r6 task
+    # 3): the host's kernel-probe ceiling swung 0.476 -> 0.809 within one
+    # round, so raw suite efficiency is not comparable across sessions;
+    # eff_suite / eff_kernel_same_session is.
+    ceil = probe["efficiency"]
     result = dict(
         ingest=dict(n8=round(lo_t, 1), n32=round(hi_t, 1), efficiency=round(eff_ingest, 3), tiles=tiles,
-                    paired=paired("tiles_per_sec")),
+                    paired=paired("tiles_per_sec"),
+                    vs_ceiling=round(eff_ingest / ceil, 3),
+                    paired_vs_ceiling=[round(p / ceil, 3) for p in paired("tiles_per_sec")]),
         joins=dict(n8=round(lo_j, 1), n32=round(hi_j, 1), efficiency=round(eff_join, 3),
-                   paired=paired("join_rows_per_sec")),
+                   paired=paired("join_rows_per_sec"),
+                   vs_ceiling=round(eff_join / ceil, 3),
+                   paired_vs_ceiling=[round(p / ceil, 3) for p in paired("join_rows_per_sec")],
+                   per_query_walls={
+                       lvl: [o["join_per_query"] for o in obs[lvl]] for lvl in (8, 32)
+                   }),
         cpu_minhash=dict(n8=round(lo_c, 1), n32=round(hi_c, 1), efficiency=round(eff_cpu, 3),
-                         paired=paired("cpu_docs_per_sec")),
+                         paired=paired("cpu_docs_per_sec"),
+                         vs_ceiling=round(eff_cpu / ceil, 3),
+                         paired_vs_ceiling=[round(p / ceil, 3) for p in paired("cpu_docs_per_sec")]),
         kernel_probe=dict(
             n8=round(probe[8], 1), n32=round(probe[32], 1),
             efficiency=round(probe["efficiency"], 3),
@@ -371,7 +389,9 @@ one JVM, levels interleaved, warmup pass per level (page cache /\nJIT / python w
 | local[8]  | {tiles} | {lo_t:.1f} |
 | local[32] | {tiles} | {hi_t:.1f} |
 
-**scaling efficiency: {eff_ingest:.3f}**
+**scaling efficiency: {eff_ingest:.3f}** (paired per-rep {result['ingest']['paired']};
+vs same-session kernel ceiling {result['ingest']['vs_ceiling']:.3f},
+paired {result['ingest']['paired_vs_ceiling']})
 
 ## Dedup/join workload ({', '.join(JOIN_QUERIES)}; sf0.1 x{join_k} salted replicas)
 
@@ -380,7 +400,13 @@ one JVM, levels interleaved, warmup pass per level (page cache /\nJIT / python w
 | local[8]  | {lo_j:.1f} |
 | local[32] | {hi_j:.1f} |
 
-**scaling efficiency: {eff_join:.3f}**
+**scaling efficiency: {eff_join:.3f}** (paired per-rep {result['joins']['paired']};
+vs same-session kernel ceiling {result['joins']['vs_ceiling']:.3f},
+paired {result['joins']['paired_vs_ceiling']})
+
+Per-query walls (s), drift ledger feed (spacetime_key_agg et al.):
+n8 reps {json.dumps(result['joins']['per_query_walls'][8])}
+n32 reps {json.dumps(result['joins']['per_query_walls'][32])}
 
 ## CPU-bound MinHash (64-hash signatures, documents x replication)
 
@@ -389,7 +415,9 @@ one JVM, levels interleaved, warmup pass per level (page cache /\nJIT / python w
 | local[8]  | {lo_c:.0f} |
 | local[32] | {hi_c:.0f} |
 
-**scaling efficiency: {eff_cpu:.3f}**
+**scaling efficiency: {eff_cpu:.3f}** (paired per-rep {result['cpu_minhash']['paired']};
+vs same-session kernel ceiling {result['cpu_minhash']['vs_ceiling']:.3f},
+paired {result['cpu_minhash']['paired_vs_ceiling']})
 
 ## Pure-kernel scaling probe (no Spark, multiprocessing, same chunk math)
 
