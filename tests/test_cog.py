@@ -372,6 +372,30 @@ def test_cog_scenes_12bit_jpeg_window(spark, tmp_path):
     assert level == 0 and row.bytes_read < row.file_bytes
 
 
+def test_cog12_entry_fixture_is_codec_exact():
+    """The cog_jpeg12_scan oracle is codec-free ONLY because its
+    block-constant fixtures roundtrip the lossy 12-bit codec bitwise
+    (DC-only blocks; q0=2 at quality 95 -> error <= 0.125 px).  Pin that
+    premise directly, and pin the entry's golden rows against a real
+    decode of the archive files."""
+    import __spark_entry__ as entry
+    from geotrellis_landsat_emr_demo_spark.core import jpeg
+
+    arr = entry._cog12_array(3)
+    assert arr.max() <= 4095
+    assert (jpeg.decode(jpeg.encode_gray12(arr, quality=95)) == arr).all()
+    # archive files decode (whole-file path) to exactly the raw arrays
+    paths = entry._cog12_archive()
+    assert len(paths) == entry.N_COG_SCENES
+    dec, meta = tiff.read(open(paths[0], "rb").read())
+    assert meta["bits"] == 12
+    assert np.array_equal(np.squeeze(dec), entry._cog12_array(0))
+    # golden rows' windows are non-vacuous sub-rectangles
+    exp = entry._cog12_expected()
+    assert len(exp) == entry.N_COG_SCENES
+    assert all(0 < r["w"] <= 256 and 0 < r["h"] <= 256 for r in exp)
+
+
 def test_cog_scenes_inventory_prefilter_and_resolution(spark, cog_dir):
     from geotrellis_landsat_emr_demo_spark.sources import cog as cogsrc
 
