@@ -29,6 +29,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spread (guide §2.5 input skew: 'one huge
+    unsplittable file').  The driver's tables are single-row-group parquet
+    files, so every scan arrives as ONE task and all per-row work
+    (regex, trig, partial aggregation) serializes on one core of 32.  A
+    round-robin repartition to ``defaultParallelism`` costs one narrow
+    shuffle and parallelizes everything downstream.  At production scale
+    a scan has >= cores row groups and is left untouched — this is a
+    no-op exactly when the input is already wide enough."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --------------------------------------------------------------------------
 # shared synthetic geometry over the events table: deterministic lat/lng per
 # event (pure column math, identical in both engines)
@@ -70,6 +85,11 @@ _MERC_SQL = f"""
 
 
 def _cells(spark, sf_dir, zoom=6):
+    # r8 NEGATIVE RESULT: spreading the events scan before the trig lost
+    # an interleaved A/B (cell_assign spread 1.79 s vs nospread 1.21 s
+    # median at sf1.0, tools/ab_r08.py) — the mercator+floor+partial-agg
+    # work collapses map-side cheaply enough that the extra round-robin
+    # exchange never pays for itself on this table.
     span = 2 * ORIGIN / (1 << zoom)
     return (
         _mercator(_points(spark, sf_dir))
@@ -134,20 +154,27 @@ def sql_cell_assign_agg():
 def q_pyramid_rollup(spark, sf_dir):
     """A4: parent-tile pyramid aggregation (zoom 6 -> 4), the treeReduce
     shape of Pyramid.upLevels (engine: operators.ingest pyramid loop)."""
-    base = _cells(spark, sf_dir, 6).select("cx", "cy", "event_id")
+    # r8: the pyramid is built by AGGREGATING UP (each level's counts are
+    # the sums of its children's counts — exact long arithmetic, the
+    # actual treeReduce shape) instead of re-counting 1M raw cells per
+    # level; the old 3-branch union re-ran the scan+trig+count per zoom.
+    # The leaf exchange is shared by all branches (ReusedExchange), so
+    # raw events are read and aggregated once (guide §2.4).
+    base = _cells(spark, sf_dir, 6).select("cx", "cy")
     levels = []
-    cur = base
+    cur = base.groupBy("cx", "cy").agg(F.count("*").alias("n_points"))
     for zoom in (6, 5, 4):
-        levels.append(
-            cur.groupBy("cx", "cy")
-            .agg(F.count("*").alias("n_points"))
-            .withColumn("zoom", F.lit(zoom))
-        )
-        cur = cur.select(
-            (F.col("cx") / 2).cast("long").alias("cx"),
-            (F.col("cy") / 2).cast("long").alias("cy"),
-            "event_id",
-        )
+        levels.append(cur.withColumn("zoom", F.lit(zoom)))
+        if zoom > 4:
+            cur = (
+                cur.select(
+                    (F.col("cx") / 2).cast("long").alias("cx"),
+                    (F.col("cy") / 2).cast("long").alias("cy"),
+                    "n_points",
+                )
+                .groupBy("cx", "cy")
+                .agg(F.sum("n_points").alias("n_points"))
+            )
     out = levels[0]
     for l in levels[1:]:
         out = out.unionByName(l)
@@ -202,24 +229,46 @@ def sql_envelope_pip_join():
 
 def q_knn_points(spark, sf_dir):
     """J2 generalization: kNN lookup — top-3 nearest events per query point
-    (engine: operators.joins.knn_join with Morton ring expansion)."""
+    (engine: operators.joins.knn_join with Morton ring expansion).
+
+    r8 shape: phase 1 (local top-3 per query) runs INSIDE mapInPandas per
+    Arrow batch — the old broadcast crossJoin materialized Q x N rows and
+    pushed them through an Exchange + two sort windows (guide §2.4/§4.2).
+    Distances are exact integers here (points sit on half-integer grids,
+    so every difference is integral and squares/sums stay < 2^53 —
+    bit-exact in any IEEE evaluation order), and the per-batch selection
+    uses the same (dist_sq, event_id) lexicographic order as the global
+    rank, so the global top-3 is always a subset of the survivors —
+    identical results to the crossJoin+window formulation."""
+    import numpy as np
+    import pandas as pd
+
     pts = _points(spark, sf_dir)
-    q = F.broadcast(
-        spark.createDataFrame(_QPTS, "query_id string, qlng double, qlat double")
-    )
-    j = q.crossJoin(pts).withColumn(
-        "dist_sq",
-        (F.col("lng") - F.col("qlng")) ** 2 + (F.col("lat") - F.col("qlat")) ** 2,
-    )
-    # two-phase top-k: per-partition local top-3 first, so no single
-    # (query_id) window partition ever holds all N events (the local pass
-    # keys on (query_id, physical partition) — balanced at any scale; the
-    # global pass ranks <= 3 * n_partitions survivors)
-    wl = Window.partitionBy("query_id", "part").orderBy("dist_sq", "event_id")
-    local = (
-        j.withColumn("part", F.spark_partition_id())
-        .withColumn("lrn", F.row_number().over(wl))
-        .filter(F.col("lrn") <= 3)
+    qpts = list(_QPTS)
+
+    def topk_batches(it):
+        for pdf in it:
+            lng = pdf["lng"].to_numpy(dtype="f8")
+            lat = pdf["lat"].to_numpy(dtype="f8")
+            eid = pdf["event_id"].to_numpy()
+            if len(eid) == 0:
+                continue
+            outs = []
+            for qid, qlng, qlat in qpts:
+                d = (lng - qlng) ** 2 + (lat - qlat) ** 2
+                idx = np.lexsort((eid, d))[:3]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "event_id": eid[idx], "dist_sq": d[idx]}
+                    )
+                )
+            yield pd.concat(outs)
+
+    # no scan spread here: the vectorized batch work is so light that the
+    # round-robin exchange lost an interleaved A/B (2.30 vs 1.31 s median
+    # at sf1.0, tools/ab_r08.py knn)
+    local = pts.select("event_id", "lng", "lat").mapInPandas(
+        topk_batches, "query_id string, event_id long, dist_sq double"
     )
     w = Window.partitionBy("query_id").orderBy("dist_sq", "event_id")
     return (
@@ -490,7 +539,14 @@ def q_merge_first_wins(spark, sf_dir):
     the row with the smallest sort key wins (tile-fragment merge shape)."""
     l = _t(spark, sf_dir, "lineitem")
     # fully deterministic winner: (linenumber, partkey, suppkey) is a total
-    # order within an order in this dataset
+    # order within an order in this dataset.
+    # r8 NEGATIVE RESULT (kept as the window): a partial-aggregable
+    # struct-min (groupBy(l_orderkey).agg(min(struct(...)))) measured
+    # ~2.7x SLOWER in an interleaved A/B at sf1.0 (median 12.2 s vs 4.6 s,
+    # tools/ab_r08.py merge_first_wins) — min over a STRUCT is not a
+    # mutable-buffer aggregate, so it plans as ObjectHashAggregate and
+    # falls back to sort-based past 128 distinct keys (1.5M groups here):
+    # two sorts instead of the window's one.
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
     )
@@ -543,7 +599,7 @@ def q_dedup_minhash_bands(spark, sf_dir):
     """MinHash banding with portable string-min hashes: band bucket = the
     two per-seed min(md5(seed||word)); buckets with >1 doc are near-dup
     candidates (engine: operators.textops.minhash_signatures/lsh_pairs)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
     )
@@ -657,66 +713,73 @@ def q_kmeans_assign(spark, sf_dir):
     decimals — bit-reproducible in any engine), then re-assign against
     score = dot(v, sum_c) / n_c with a (score desc, cluster asc)
     tie-break.  Returns (vec_id, cluster)."""
+    import numpy as np
+    import pandas as pd
+
     cents = _kmeans_cents()
     k, dim = cents.shape
     e = _t(spark, sf_dir, "embeddings")
     r6 = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 6))
-    base = e.select("vec_id", r6.alias("v"))
+    base = _spread(e.select("vec_id", r6.alias("v")))
 
-    def dot_lit(vcol, arr):
-        return F.aggregate(
-            F.zip_with(
-                vcol,
-                F.array(*[F.lit(float(c)) for c in arr]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+    # r8: the per-centroid dot products moved from Catalyst higher-order
+    # functions (zip_with/aggregate are CodegenFallback — interpreted,
+    # boxed per element) into a vectorized pandas UDF that accumulates
+    # dimension-by-dimension: D_ij = (D_ij + v_id * c_jd) in dimension
+    # order — the identical IEEE rounding sequence the HOF fold performs,
+    # so every score and therefore every argmax/tie-break is unchanged
+    # (tie -> lower cluster id == np.argmax first-hit; Spark compares
+    # -0.0 == 0.0, as does numpy).  tests/test_entry_kmeans_exact.py pins
+    # the full output against the original formulation.
+    def _seq_dots(V: np.ndarray, M: np.ndarray) -> np.ndarray:
+        D = np.zeros((len(V), M.shape[0]))
+        for d in range(M.shape[1]):
+            D = D + V[:, d, None] * M[None, :, d]
+        return D
 
-    a0 = base.withColumn(
-        "cluster",
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        (-dot_lit(F.col("v"), cents[j])).alias("nd"),
-                        F.lit(j).alias("j"),
-                    )
-                    for j in range(k)
-                ]
-            )
-        )["j"],
-    )
-    upd = (
+    C0 = cents
+
+    def _a0(vs):
+        V = np.asarray(vs.tolist(), dtype="f8")
+        return pd.Series(np.argmax(_seq_dots(V, C0), axis=1).astype("i4"))
+
+    a0_cluster = F.pandas_udf(_a0, "int")
+
+    a0 = base.withColumn("cluster", a0_cluster(F.col("v")))
+    # exact per-cluster decimal sums (unchanged Catalyst formulation: the
+    # 6-decimal grid + DECIMAL(27,6) sums are the cross-engine-exact part)
+    upd_rows = (
         a0.select("cluster", F.posexplode("v").alias("pos", "val"))
         .groupBy("cluster", "pos")
         .agg(
             F.sum(F.col("val").cast("decimal(27,6)")).cast("double").alias("s"),
             F.count("*").alias("n"),
         )
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
-            ).alias("sarr"),
-            F.first("n").alias("n"),
-        )
+        .collect()
     )
-    scored = base.crossJoin(F.broadcast(upd)).withColumn(
-        "score",
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("sarr"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        / F.col("n"),
-    )
-    return scored.groupBy("vec_id").agg(
-        F.min_by(
-            "cluster", F.struct((-F.col("score")).alias("ns"), F.col("cluster"))
-        ).alias("cluster")
-    )
+    # k x dim doubles of aggregate state — the same driver traffic the
+    # engine's kmeans_fit update step carries (kmeans_fit precedent);
+    # clusters with no members simply have no rows, matching the inner
+    # crossJoin of the original (absent clusters can't win the re-assign)
+    present = sorted({r["cluster"] for r in upd_rows})
+    cmap = {c: i for i, c in enumerate(present)}
+    S = np.zeros((len(present), dim))
+    N = np.zeros(len(present))
+    for r in upd_rows:
+        S[cmap[r["cluster"]], r["pos"]] = r["s"]
+        N[cmap[r["cluster"]]] = r["n"]
+    present_arr = np.asarray(present, dtype="i4")
+
+    def _best(vs):
+        V = np.asarray(vs.tolist(), dtype="f8")
+        D = _seq_dots(V, S) / N[None, :]
+        # argmax over clusters sorted ascending: first max == lowest id,
+        # the min_by struct((-score), cluster) tie-break
+        return pd.Series(present_arr[np.argmax(D, axis=1)])
+
+    best_cluster = F.pandas_udf(_best, "int")
+
+    return base.select("vec_id", best_cluster(F.col("v")).alias("cluster"))
 
 
 def sql_kmeans_assign():
@@ -992,7 +1055,7 @@ def sql_token_stats():
 def q_quality_score(spark, sf_dir):
     """Quality scoring: distinct-token ratio, stopword ratio, mean word
     length (engine: operators.textops.quality_score)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), " ")
     n = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n
@@ -1028,7 +1091,7 @@ def q_pii_scrub(spark, sf_dir):
     scrubbing — the regexes are exercised on every row."""
     from geotrellis_landsat_emr_demo_spark.operators import textops
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     planted = d.select(
         "doc_id",
         F.concat(

@@ -38,10 +38,91 @@ def _norm(a):
     )
 
 
-def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+def with_cosine_expr(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """Catalyst higher-order-function cosine (the original formulation).
+
+    Kept as the semantic reference: HOF lambdas are CodegenFallback in
+    Spark 4 (interpreted, boxed per element), so :func:`with_cosine`
+    below computes the SAME value — bit-for-bit — through one vectorized
+    Arrow batch instead (tests/test_similarity_exact.py pins equality)."""
     return df.withColumn(
         out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
     )
+
+
+def _cos_exact_np(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Bit-exact vectorized replica of the zip_with/aggregate cosine.
+
+    The Catalyst expression folds LEFT-TO-RIGHT over dimensions:
+    ``acc = (acc + x_d * y_d)`` — one IEEE rounding per product, one per
+    add, in dimension order.  Accumulating column-by-column performs the
+    identical operation sequence per row (numpy elementwise double ops,
+    Java double ops, and np/Math.sqrt are all IEEE-754 correctly
+    rounded), so every cosine — including values at a caller's threshold
+    boundary — is the same double the HOF expression produces."""
+    n = A.shape[0]
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for d in range(A.shape[1]):
+        x = A[:, d]
+        y = B[:, d]
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return dot / (np.sqrt(na) * np.sqrt(nb))
+
+
+def _cos_exact_rows(va, vb) -> float:
+    """Scalar fallback (ragged/null-safe), same sequence of roundings."""
+    if va is None or vb is None:
+        return None
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(va, vb):
+        x = float(x)
+        y = float(y)
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    import math
+
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
+    try:
+        A = np.asarray(va.tolist(), dtype="f8")
+        B = np.asarray(vb.tolist(), dtype="f8")
+        if A.ndim == 2 and B.ndim == 2:
+            return pd.Series(_cos_exact_np(A, B))
+    except (ValueError, TypeError):
+        pass
+    return pd.Series([_cos_exact_rows(x, y) for x, y in zip(va, vb)], dtype="float64")
+
+
+_COS_UDF = None
+
+
+def _cos_udf():
+    """pandas_udf handle, built lazily (the decorator needs an active
+    session) and marked non-deterministic: that stops the optimizer
+    duplicating the UDF when a caller filters on the output column
+    (guide §4.4 — filter pushdown splits one ArrowEvalPython into two);
+    the function itself is deterministic."""
+    global _COS_UDF
+    if _COS_UDF is None:
+        _COS_UDF = F.pandas_udf(_cos_batch, "double").asNondeterministic()
+    return _COS_UDF
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """Exact cosine between two array columns, vectorized through one
+    Arrow batch per task (bit-identical to :func:`with_cosine_expr` —
+    see :func:`_cos_exact_np`)."""
+    return df.withColumn(out, _cos_udf()(F.col(a), F.col(b)))
 
 
 def cosine_topk(
@@ -476,20 +557,77 @@ def pairwise_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking column —
     exact within each block, O(n^2 / block): correct when block cardinality
-    scales with the corpus; use :func:`lsh_near_dup_pairs` when it doesn't."""
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    x = embeddings.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-    ).repartition(par, "block")
-    y = embeddings.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
+    scales with the corpus; use :func:`lsh_near_dup_pairs` when it doesn't.
+
+    r8 shape: one shuffle of the NARROW (block, id, vec) relation keyed by
+    block, then each block's pair set comes from a numpy Gram matrix
+    inside ``applyInPandas`` — the self-join previously materialized every
+    candidate pair as a row carrying BOTH 64-dim vectors (n^2/block rows
+    through an interpreted HOF cosine; 20M pairs at sf1.0 took ~70 s).
+    The Gram accumulates column-by-column, i.e. the exact left-to-right
+    per-dimension rounding sequence of the zip_with/aggregate cosine (see
+    :func:`_cos_exact_np`), so emitted cosines — and threshold
+    survivors — are bit-identical to the join formulation (pinned by
+    tests/test_similarity_exact.py).  Only pairs >= threshold ever leave
+    the UDF.  Memory stays bounded: the Gram is computed in row chunks of
+    the block, O(chunk * n_block) doubles at a time."""
+    bt = embeddings.schema[block_col].dataType.simpleString()
+    it = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"block {bt}, id_a {it}, id_b {it}, cosine double"
+    thr = float(threshold)
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        A = np.asarray(pdf["vec"].tolist(), dtype="f8")
+        n = len(A)
+        if n < 2:
+            return pd.DataFrame(
+                {"block": [], "id_a": [], "id_b": [], "cosine": []}
+            ).astype({"cosine": "f8"})
+        dim = A.shape[1]
+        # exact norms, per-dimension accumulation (see _cos_exact_np)
+        nrm = np.zeros(n)
+        for d in range(dim):
+            x = A[:, d]
+            nrm = nrm + x * x
+        nrm = np.sqrt(nrm)
+        out_a, out_b, out_c = [], [], []
+        chunk = max(1, min(n, (4 << 20) // max(n, 1)))  # ~32 MB of doubles
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            G = np.zeros((hi - lo, n))
+            for d in range(dim):
+                G += A[lo:hi, d, None] * A[None, :, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = G / (nrm[lo:hi, None] * nrm[None, :])
+            # Spark SQL orders NaN above every double, so a NaN cosine
+            # (zero-norm vector) PASSES `cosine >= threshold` in the join
+            # formulation — replicate that
+            rows, cols = np.nonzero((C >= thr) | np.isnan(C))
+            keep = (rows + lo) < cols
+            rows, cols = rows[keep], cols[keep]
+            out_a.append(ids[rows + lo])
+            out_b.append(ids[cols])
+            out_c.append(C[rows, cols])
+        blk = pdf[block_col].iloc[0]
+        ra = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
+        return pd.DataFrame(
+            {
+                "block": np.repeat(blk, len(ra)),
+                "id_a": ra,
+                "id_b": np.concatenate(out_b) if out_b else ra,
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype="f8"),
+            }
+        )
+
+    sel = embeddings.select(
+        F.col(block_col),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
     )
-    j = x.join(y, "block").filter(F.col("id_a") < F.col("id_b"))
-    j = with_cosine(j, "vec_a", "vec_b")
-    return j.filter(F.col("cosine") >= threshold).select(
-        "block", "id_a", "id_b", "cosine"
+    return (
+        sel.groupBy(block_col)
+        .applyInPandas(_block_pairs, schema=out_schema)
+        .select("block", "id_a", "id_b", "cosine")
     )

@@ -25,7 +25,8 @@ def build_session(
     master: str | None = None,
     app_name: str = "geotrellis-landsat-emr-demo-spark",
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 64,
+    arrow_batch: int = 8192,
+    arrow_batch_bytes: int = 32 << 20,
     driver_mem: str | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
@@ -68,7 +69,16 @@ def build_session(
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r8: batches are bounded by BYTES (Spark 4's maxBytesPerBatch —
+        # a batch closes when EITHER limit hits), so the record cap can sit
+        # high enough that narrow rows (embeddings: ~0.3 KB; exploded text
+        # tokens) amortize the per-batch Python round-trip.  The old
+        # records-only cap of 64 (sized for ~1 MB tile payload rows)
+        # made every pandas-UDF stage on narrow data pay ~150x the batch
+        # count; payload rows are now capped at 32 MB/batch instead
+        # (tighter than the old 64 x ~1 MB) — guide §4.2.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_batch_bytes))
         # binary tile rows defeat size estimates; keep broadcasts explicit
         .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
