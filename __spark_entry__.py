@@ -720,7 +720,15 @@ def q_kmeans_assign(spark, sf_dir):
     k, dim = cents.shape
     e = _t(spark, sf_dir, "embeddings")
     r6 = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 6))
-    base = _spread(e.select("vec_id", r6.alias("v")))
+    # spread BEFORE the projection so the 1.28M HALF_UP roundings run on
+    # all cores, and checkpoint the rounded relation: three consumers
+    # (assign pass, decimal-sum pass, final scoring scan) otherwise
+    # re-execute the rounding each
+    base = (
+        _spread(e.select("vec_id", "embedding"))
+        .select("vec_id", r6.alias("v"))
+        .localCheckpoint(eager=True)
+    )
 
     # r8: the per-centroid dot products moved from Catalyst higher-order
     # functions (zip_with/aggregate are CodegenFallback — interpreted,
@@ -833,9 +841,11 @@ def q_dedup_components(spark, sf_dir):
     )
 
     pairs = _shared_jaccard_pairs(spark, sf_dir)
-    return connected_components(pairs, src="doc_a", dst="doc_b").select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    # the shared pair relation is already distinct AND file-checkpointed:
+    # skip the operator's redundant O(E) entry dedup + re-checkpoint
+    return connected_components(
+        pairs, src="doc_a", dst="doc_b", assume_distinct=True
+    ).select(F.col("node").alias("doc_id"), "component")
 
 
 def sql_dedup_components():
@@ -869,7 +879,10 @@ def q_dedup_corpus(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = _shared_jaccard_pairs(spark, sf_dir)
-    clusters = dedup_clusters(d, pairs, id_col="doc_id", a_col="doc_a", b_col="doc_b")
+    clusters = dedup_clusters(
+        d, pairs, id_col="doc_id", a_col="doc_a", b_col="doc_b",
+        assume_distinct=True,
+    )
     return (
         d.join(clusters, "doc_id")
         .groupBy("source")

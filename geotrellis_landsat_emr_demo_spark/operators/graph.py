@@ -124,12 +124,78 @@ def _driver_components(spark, e: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, schema="node long, component long")
 
 
+def _contracted_components(spark, e: DataFrame, m: DataFrame, edge_cap: int):
+    """Single star-contraction + tiny driver union-find (r8).
+
+    ``m`` maps every node u to ``m(u) = min(N(u) ∪ {u})``.  Contracting
+    each edge (u, m(u)) — every one an edge of the graph or a self-loop —
+    preserves components EXACTLY (edge contraction never changes
+    connectivity), so components of G are the components of the contracted
+    multigraph {(m(u), m(v)) : (u,v) ∈ E} lifted back through m.  The
+    component MINIMUM also survives: the min node x of a component has
+    m(x) = x, stays a contraction root, and remains the smallest root of
+    its contracted component — so the final labels are identical to the
+    star loop's.
+
+    Cost shape: the edge set is only ever traversed MAP-SIDE — two
+    broadcast hash joins attach m(u)/m(v), the self-pairs are filtered
+    before the exchange, and the distinct dedups the few surviving
+    cross-root pairs.  No O(E) shuffle, no O(rounds) jobs.  Returns None
+    if the contracted graph unexpectedly exceeds ``edge_cap`` (degenerate
+    low-contraction graphs) — caller falls back to the star loop."""
+    import numpy as np
+
+    ms = F.broadcast(m.select(F.col("u").alias("src"), F.col("m").alias("cu")))
+    md = F.broadcast(m.select(F.col("u").alias("dst"), F.col("m").alias("cv")))
+    contracted = (
+        e.join(ms, "src")
+        .join(md, "dst")
+        .filter(F.col("cu") != F.col("cv"))
+        .select("cu", "cv")
+        .distinct()
+    )
+    cpdf = contracted.limit(edge_cap + 1).toPandas()
+    if len(cpdf) > edge_cap:
+        return None
+    mpdf = m.toPandas()
+    node = mpdf["u"].to_numpy(dtype="int64")
+    mu = mpdf["m"].to_numpy(dtype="int64")
+    # union-find over the contraction roots only (tiny)
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(
+        cpdf["cu"].to_numpy(dtype="int64"), cpdf["cv"].to_numpy(dtype="int64")
+    ):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    if parent:
+        label = {r: find(r) for r in list(parent)}
+        comp = np.array([label.get(int(x), int(x)) for x in mu], dtype="int64")
+    else:
+        comp = mu
+    out = pd.DataFrame({"node": node, "component": comp})
+    return spark.createDataFrame(out, schema="node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
     driver_threshold: int = 2_000_000,
+    contract_node_threshold: int = 2_000_000,
+    contract_edge_cap: int = 5_000_000,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Label every node of the (undirected) edge set with its component's
     MINIMUM node id.  Returns (node, component); every node appearing in
@@ -147,20 +213,36 @@ def connected_components(
     loop (the broadcast-join-style adaptive cutoff — below it the loop's
     cost is pure per-round job latency; 2M edges collect to ~32 MB and
     resolve in numpy in a few hundred ms, vs seconds of round latency).
-    At corpus scale (billions of edges) the distributed loop always
-    runs.  Pass 0 to force the distributed path.  Both paths are tested
-    identical."""
+    Pass 0 to force a distributed path.
+
+    ``contract_node_threshold`` (r8): when the edge set is too big for
+    the driver but the NODE count fits a broadcast (2M nodes = ~32 MB),
+    one exact star-contraction collapses the graph map-side — the edges
+    are never shuffled — and a driver union-find finishes on the tiny
+    contracted graph (see :func:`_contracted_components`; at sf1.0 the
+    25.8M-edge near-clique pair graph contracts to a few hundred edges:
+    13-25 s of star rounds became ~4 s).  Driver state is O(nodes), not
+    O(edges).  Pass 0 to skip (forces the star loop beyond
+    ``driver_threshold``).  At corpus scale (billions of NODES) the star
+    loop still runs — all three paths are tested identical."""
     # checkpoint the entry edges ONCE: _sym references them twice (union
     # of both orientations), and the caller's edge relation is typically
     # an expensive LSH-pairs pipeline — without this it is planned and
-    # executed twice in round 1 (the r2 recomputed-subtree anti-pattern)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # executed twice in round 1 (the r2 recomputed-subtree anti-pattern).
+    # ``assume_distinct`` (r8): a caller whose pair relation is ALREADY
+    # distinct and materialized (e.g. the shared checkpointed jaccard
+    # pairs) skips the redundant O(E) dedup shuffle + re-checkpoint —
+    # re-scanning its checkpoint per reference is cheaper than rewriting
+    # the relation.
+    sel = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
     )
-    entry_ckpt = e
+    if assume_distinct:
+        e = sel
+        entry_ckpt = None
+    else:
+        e = sel.distinct().localCheckpoint(eager=True)
+        entry_ckpt = e
     # adaptive small-side path: below the threshold the transitive
     # closure fits trivially on the driver, and a local union-find beats
     # the distributed loop whose per-round cost at small N is pure job
@@ -168,8 +250,29 @@ def connected_components(
     # checkpoint.  At corpus scale the distributed loop always runs.
     if driver_threshold and e.count() <= driver_threshold:
         out = _driver_components(edges.sparkSession, e)
-        entry_ckpt.unpersist()
+        if entry_ckpt is not None:
+            entry_ckpt.unpersist()
         return out
+    if contract_node_threshold:
+        # node-count gate: m is one map-side-combinable aggregation; its
+        # row count IS the node count
+        m = (
+            _sym(e)
+            .groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        if m.count() <= contract_node_threshold:
+            out = _contracted_components(
+                edges.sparkSession, e, m, contract_edge_cap
+            )
+            if out is not None:
+                m.unpersist()
+                if entry_ckpt is not None:
+                    entry_ckpt.unpersist()
+                return out
+        m.unpersist()
 
     def _sig(df: DataFrame):
         # count + xor of row hashes: an order-insensitive set signature
@@ -183,7 +286,7 @@ def connected_components(
     prev = None
     # seeded with the entry checkpoint so its blocks are freed as soon as
     # round 1 materializes (nothing references the raw edges after that)
-    prev_ckpts: list[DataFrame] = [entry_ckpt]
+    prev_ckpts: list[DataFrame] = [c for c in (entry_ckpt,) if c is not None]
     for _ in range(max_iter):
         # both star outputs are eagerly checkpointed: each feeds the next
         # star's multiple references (min + join), and a lazy persist in
@@ -231,6 +334,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    **cc_kwargs,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into clusters over the full corpus: every
     doc gets (doc_id, cluster, is_keeper).  Docs in no pair form singleton
@@ -238,7 +342,7 @@ def dedup_clusters(
     exact_dedup / tile-merge semantics).  This is the last stage of the
     dedup pipeline: filter ``is_keeper`` to materialize the deduplicated
     corpus."""
-    comp = connected_components(pairs, src=a_col, dst=b_col)
+    comp = connected_components(pairs, src=a_col, dst=b_col, **cc_kwargs)
     out = docs.select(F.col(id_col).alias("node")).join(comp, "node", "left")
     return out.select(
         F.col("node").alias(id_col),

@@ -141,17 +141,14 @@ def _shingles_col(text_col, k: int):
     return F.array_distinct(joined)
 
 
-def minhash_portable_signatures(
+def minhash_signatures_expr(
     docs: DataFrame, n_hashes: int = 8, shingle_k: int = 3
 ) -> DataFrame:
-    """MinHash computed entirely JVM-side (no Python anywhere): explode the
-    distinct shingles, take per-seed min(md5(seed || shingle)) strings.
-
-    md5 of a seeded string is a pseudo-random permutation of shingle space,
-    so the lexicographic min is a valid MinHash; being plain SQL (md5 +
-    min + group by) the exact same values are computable by any engine —
-    this is the oracle-checkable formulation of the dedup pipeline.
-    Returns (doc_id, h0..h{n-1} string)."""
+    """MinHash computed entirely JVM-side: explode the distinct shingles,
+    take per-seed min(md5(seed || shingle)) strings — the semantic
+    reference formulation (and the shape of the oracle SQL twin).
+    :func:`minhash_portable_signatures` computes the identical values
+    through one vectorized Arrow pass; tests pin them equal."""
     # small parquet inputs arrive as ONE scan partition; spread the docs
     # first or the explode + md5 partial-aggregation runs in a single task
     par = docs.sparkSession.sparkContext.defaultParallelism
@@ -163,6 +160,66 @@ def minhash_portable_signatures(
         for i in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_portable_signatures(
+    docs: DataFrame, n_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """MinHash signatures: per-seed min(md5(seed || shingle)) over each
+    doc's distinct shingles.  Returns (doc_id, h0..h{n-1} string) —
+    bit-identical to :func:`minhash_signatures_expr` (the JVM explode +
+    md5-min-aggregate formulation, and the oracle SQL twin).
+
+    r8 shape: the shingle ARRAYS are still built by Catalyst (split /
+    slice semantics unchanged), but hashing moves into one vectorized
+    Arrow pass that md5's each DISTINCT shingle per batch once
+    (pd.factorize) instead of once per occurrence — on duplicate-heavy
+    corpora that is a ~5-10x cut in md5 calls — and takes per-doc minima
+    as vectorized 128-bit (hi, lo) uint64 reductions (hex strings of
+    equal length compare identically to their numeric value, so the
+    reduced min is the same string the JVM picks)."""
+    import hashlib
+
+    import numpy as np
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .select("doc_id", _shingles_col(F.col("text"), shingle_k).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    schema = "doc_id long" + "".join(f", h{i} string" for i in range(n_hashes))
+    prefixes = [f"s{i}:".encode() for i in range(n_hashes)]
+    U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def batches(it):
+        for pdf in it:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            lens = pdf["sh"].map(len).to_numpy(dtype="i8")
+            flat = np.concatenate([np.asarray(s, dtype=object) for s in pdf["sh"]])
+            codes, uniq = pd.factorize(flat)
+            ub = [s.encode("utf-8") for s in uniq]
+            starts = np.zeros(n_docs, dtype="i8")
+            np.cumsum(lens[:-1], out=starts[1:])
+            occ = np.repeat(np.arange(n_docs), lens)
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for i in range(n_hashes):
+                pre = prefixes[i]
+                buf = b"".join(hashlib.md5(pre + s).digest() for s in ub)
+                hl = np.frombuffer(buf, dtype=">u8").reshape(-1, 2)
+                hi, lo = hl[:, 0], hl[:, 1]
+                ohi, olo = hi[codes], lo[codes]
+                minhi = np.minimum.reduceat(ohi, starts)
+                lo_masked = np.where(ohi == minhi[occ], olo, U64MAX)
+                minlo = np.minimum.reduceat(lo_masked, starts)
+                out[f"h{i}"] = [
+                    f"{int(a):016x}{int(b):016x}" for a, b in zip(minhi, minlo)
+                ]
+            yield pd.DataFrame(out)
+
+    return sh.mapInPandas(batches, schema)
 
 
 def _minhash_banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -522,6 +579,79 @@ def simhash_blocks(sh: DataFrame, n_blocks: int = 4) -> DataFrame:
     return out
 
 
+def _simhash_table(docs: DataFrame, n_blocks: int = 4) -> DataFrame:
+    """(doc_id, simhash, block0..{n-1}) — bit-identical to
+    ``simhash_blocks(_simhash_full(docs))`` but computed in one vectorized
+    Arrow pass (r8).
+
+    The Catalyst formulation's 64 per-bit sum columns + the 64-term bit
+    assembly compile into a codegen unit so large that janino spends ~3 s
+    per execution REGARDLESS of data size (measured identical at sf0.1
+    and sf1.0).  Here the word arrays are still produced by the JVM
+    (split/lower/trim semantics unchanged), and the UDF computes md5 once
+    per DISTINCT word per batch (pd.factorize — word multiplicity only
+    hits the integer vote sums), extracts the 64 bits by integer nibble
+    arithmetic (same numbering: bit b = bit (b%4) of hex digit (b//4)),
+    and reduces ±1 votes per doc with np.add.reduceat.  MD5, the vote
+    integers, and the two's-complement assembly are all exact, so every
+    signature and block equals the Catalyst path's
+    (tests/test_textops.py::test_simhash_table_matches_catalyst)."""
+    import hashlib
+
+    import numpy as np
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    width = 64 // n_blocks
+    words = (
+        docs.repartition(par)
+        .select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+        )
+        # null text -> null array; the explode formulation dropped those
+        # docs from the output — replicate
+        .filter(F.col("ws").isNotNull())
+    )
+    out_schema = "doc_id long, simhash long" + "".join(
+        f", block{t} long" for t in range(n_blocks)
+    )
+
+    def batches(it):
+        for pdf in it:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            lens = pdf["ws"].map(len).to_numpy(dtype="i8")
+            flat = np.concatenate([np.asarray(w, dtype=object) for w in pdf["ws"]])
+            codes, uniq = pd.factorize(flat)
+            # one md5 per distinct word; digest -> 32 hex digits as nibbles
+            dig = np.frombuffer(
+                b"".join(hashlib.md5(w.encode("utf-8")).digest() for w in uniq),
+                dtype=np.uint8,
+            ).reshape(len(uniq), 16)
+            nib = np.empty((len(uniq), 32), dtype=np.uint8)
+            nib[:, 0::2] = dig >> 4
+            nib[:, 1::2] = dig & 0x0F
+            starts = np.zeros(n_docs, dtype="i8")
+            np.cumsum(lens[:-1], out=starts[1:])
+            votes = np.empty((n_docs, 64), dtype="i8")
+            for b in range(64):
+                pm1 = (((nib[:, b // 4] >> (b % 4)) & 1).astype("i8") * 2 - 1)
+                votes[:, b] = np.add.reduceat(pm1[codes], starts)
+            bits = (votes > 0).astype(np.uint64)
+            sh = np.zeros(n_docs, dtype=np.uint64)
+            for b in range(64):
+                sh |= bits[:, b] << np.uint64(b)
+            out = {"doc_id": pdf["doc_id"].to_numpy(), "simhash": sh.view("i8")}
+            for t in range(n_blocks):
+                blk = np.zeros(n_docs, dtype="i8")
+                for j in range(width):
+                    blk += (votes[:, t * width + j] > 0).astype("i8") << j
+                out[f"block{t}"] = blk
+            yield pd.DataFrame(out)
+
+    return words.mapInPandas(batches, out_schema)
+
+
 def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 8, n_blocks: int = 4
 ) -> DataFrame:
@@ -538,11 +668,7 @@ def simhash_near_pairs(
     posexplode instead of an n_blocks-way union (a union of branches over
     the same source re-executes the source per branch — with both
     self-join sides that was 2 * n_blocks full signature scans)."""
-    sh = (
-        simhash_blocks(_simhash_full(docs), n_blocks)
-        .select("doc_id", "simhash", *[f"block{t}" for t in range(n_blocks)])
-        .localCheckpoint(eager=True)
-    )
+    sh = _simhash_table(docs, n_blocks).localCheckpoint(eager=True)
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -755,6 +881,16 @@ def ngram_jaccard_pairs(
         F.col("hs").alias("hs_b"),
         F.col("n").alias("n_b"),
     )
+    # r8: broadcast the token-set side of the verify when it fits — the
+    # candidate relation is orders of magnitude larger than the doc
+    # relation (121M raw / 40M distinct candidates vs 50k docs at sf1.0),
+    # and a sort-merge join would sort the candidates WITH array payloads
+    # attached.  AQE usually rewrites this at runtime; making it explicit
+    # removes the dependence on size estimates (guide §3.1).  Gated on
+    # the materialized doc count so corpus-scale inputs keep the shuffle
+    # join.
+    if base.count() <= 500_000:
+        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     if round_to is not None:

@@ -38,17 +38,21 @@ def test_connected_components_random_graphs(spark):
         edges = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
         df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
         expect = _uf_components(edges)
-        # BOTH execution paths: the adaptive driver union-find (default at
-        # this size) and the distributed star/star loop (forced via
-        # driver_threshold=0) must agree with the oracle bit-for-bit
-        for thresh in (200_000, 0):
+        # ALL THREE execution paths: the adaptive driver union-find
+        # (default at this size), the r8 star-contraction path (forced
+        # via driver_threshold=0), and the distributed star/star loop
+        # (both adaptive cutoffs disabled) must agree with the oracle
+        # bit-for-bit
+        for dthresh, cthresh in ((200_000, 200_000), (0, 200_000), (0, 0)):
             got = {
                 r.node: r.component
                 for r in graph.connected_components(
-                    df, driver_threshold=thresh
+                    df,
+                    driver_threshold=dthresh,
+                    contract_node_threshold=cthresh,
                 ).collect()
             }
-            assert got == expect, f"trial {trial} thresh={thresh}"
+            assert got == expect, f"trial {trial} thresh={dthresh}/{cthresh}"
             # labels are component minima
             assert all(v <= k for k, v in got.items())
 
@@ -61,9 +65,26 @@ def test_connected_components_long_path(spark):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
     got = {
         r.node: r.component
-        for r in graph.connected_components(df, driver_threshold=0).collect()
+        for r in graph.connected_components(
+            df, driver_threshold=0, contract_node_threshold=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(501)}
+    # the path graph is also the LOW-contraction adversary for the r8
+    # contraction route (m(i) = i-1 keeps ~all edges): must still be exact
+    got_c = {
+        r.node: r.component
+        for r in graph.connected_components(df, driver_threshold=0).collect()
+    }
+    assert got_c == {i: 0 for i in range(501)}
+    # and the edge-cap fallback to the star loop must be exact too
+    got_f = {
+        r.node: r.component
+        for r in graph.connected_components(
+            df, driver_threshold=0, contract_edge_cap=10
+        ).collect()
+    }
+    assert got_f == {i: 0 for i in range(501)}
 
 
 def test_dedup_clusters_end_to_end(spark):

@@ -921,3 +921,62 @@ def test_ivf_trained_recall_on_clustered_corpus(spark):
     r_seeded = recall(similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=2))
     assert r_trained >= 0.8, (r_trained, r_seeded)
     assert r_trained - r_seeded >= 0.25, (r_trained, r_seeded)
+
+
+def test_simhash_table_matches_catalyst(spark, docs):
+    """r8: the vectorized _simhash_table must be bit-identical to the
+    Catalyst 64-vote formulation (simhash_blocks(_simhash_full(...))) —
+    signatures AND all block columns — on real corpus data plus planted
+    unicode/whitespace edge cases."""
+    extra = pd.DataFrame(
+        [
+            dict(doc_id=9901, text="héllo wörld ünïcode ñ", lang="xx",
+                 source="u", n_chars=21),
+            dict(doc_id=9902, text="  padded   whitespace\ttabs  ", lang="xx",
+                 source="u", n_chars=28),
+            dict(doc_id=9903, text="", lang="xx", source="u", n_chars=0),
+            dict(doc_id=9904, text="ONE", lang="xx", source="u", n_chars=3),
+        ]
+    )
+    d = docs.unionByName(spark.createDataFrame(extra))
+    want = {
+        r.doc_id: (r.simhash, r.block0, r.block1, r.block2, r.block3)
+        for r in textops.simhash_blocks(textops._simhash_full(d), 4)
+        .select("doc_id", "simhash", "block0", "block1", "block2", "block3")
+        .collect()
+    }
+    got = {
+        r.doc_id: (r.simhash, r.block0, r.block1, r.block2, r.block3)
+        for r in textops._simhash_table(d, 4).collect()
+    }
+    assert got == want
+    # sf0.1 corpus, full scale tier
+    d1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    want1 = {
+        r.doc_id: (r.simhash, r.block0, r.block1, r.block2, r.block3)
+        for r in textops.simhash_blocks(textops._simhash_full(d1), 4)
+        .select("doc_id", "simhash", "block0", "block1", "block2", "block3")
+        .collect()
+    }
+    got1 = {
+        r.doc_id: (r.simhash, r.block0, r.block1, r.block2, r.block3)
+        for r in textops._simhash_table(d1, 4).collect()
+    }
+    assert got1 == want1
+
+
+def test_minhash_portable_signatures_match_expr(spark, docs):
+    """r8: the vectorized minhash signature pass must be bit-identical to
+    the JVM explode + md5-min formulation (and thus the oracle twin)."""
+    extra = pd.DataFrame(
+        [
+            dict(doc_id=9905, text="tök ünï gräm shingles über alles", lang="xx",
+                 source="u", n_chars=30),
+            dict(doc_id=9906, text="one", lang="xx", source="u", n_chars=3),
+        ]
+    )
+    for d in (docs.unionByName(spark.createDataFrame(extra)),
+              spark.read.parquet("/root/testdata/sf0.1/documents.parquet")):
+        want = {tuple(r) for r in textops.minhash_signatures_expr(d, 8).collect()}
+        got = {tuple(r) for r in textops.minhash_portable_signatures(d, 8).collect()}
+        assert got == want and len(got) > 0
