@@ -242,13 +242,18 @@ def lsh_topk(
     ~0.4 s extra wall — see BENCH/BASELINE.md "ANN multiprobe".  ``bits=None`` picks
     :func:`adaptive_bits` from the corpus count so candidates stay linear
     in N.  The corpus is hashed once into a NARROW (id, tbl, bucket)
-    relation (checkpointed — every probe branch reads it instead of
-    re-running the Arrow matmul), candidates dedupe on scalar ids only,
+    relation feeding the single probe join, candidates dedupe on scalar
+    ids only,
     and vectors are joined back once for the exact re-rank; queries
     broadcast.  Candidate count ~ tables * N / 2^bits per query."""
+    n_corpus = None
     if bits is None:
-        bits = adaptive_bits(embeddings.count(), target_bucket)
+        n_corpus = embeddings.count()
+        bits = adaptive_bits(n_corpus, target_bucket)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # r8: no checkpoint — the bucketed corpus relation feeds exactly ONE
+    # join here (unlike lsh_candidate_pairs, where both self-join sides
+    # read it), so materializing it only added a job barrier
     base = _table_buckets(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
         .repartition(par),
@@ -256,7 +261,7 @@ def lsh_topk(
         bits,
         tables,
         dim,
-    ).localCheckpoint(eager=True)
+    )
     q = _table_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")),
         "v",
@@ -286,6 +291,11 @@ def lsh_topk(
     nv = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
+    if n_corpus is not None and n_corpus <= 1_000_000:
+        # the corpus vector relation fits a broadcast at this size — skip
+        # the shuffle of the candidate side (guide §3.1); at scale the
+        # shuffle join stands
+        nv = F.broadcast(nv)
     scored = with_cosine(cand.join(qv, "query_id").join(nv, "neighbor_id"), "qvec", "nvec")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -432,7 +442,7 @@ def ivf_topk(
     (tests/test_textops.py::test_ivf_trained_recall_on_clustered_corpus).
 
     The 100-TB shape: the corpus is hashed once into a NARROW (id, cell)
-    relation (checkpointed — the list assignment never re-runs), candidates
+    relation feeding the single probe join, candidates
     per query ~ nprobe * N / n_centroids instead of N; queries broadcast;
     vectors join back once for the exact re-rank.  Returns (query_id,
     neighbor_id, cosine, rank)."""
@@ -440,13 +450,15 @@ def ivf_topk(
         centroids if centroids is not None else _ivf_centroids(n_centroids, dim)
     )
     par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # r8: no checkpoint — the (id, cell) relation feeds exactly one join
+    # (the probe), so materializing it only added a job barrier
     base = _ivf_cells(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
         .repartition(par),
         "v",
         cents,
         nprobe=1,
-    ).localCheckpoint(eager=True)
+    )
     q = _ivf_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")),
         "v",
@@ -490,8 +502,10 @@ def lsh_candidate_pairs(
 
     The bucketed relation is NARROW (id, tbl, bucket) and checkpointed so
     the Arrow matmul runs once, not once per self-join side."""
+    n_corpus = None
     if bits is None:
-        bits = adaptive_bits(embeddings.count(), target_bucket)
+        n_corpus = embeddings.count()
+        bits = adaptive_bits(n_corpus, target_bucket)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     b = _table_buckets(
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -503,6 +517,12 @@ def lsh_candidate_pairs(
     ).localCheckpoint(eager=True)
     x = b.select(F.col("id").alias("id_a"), "tbl", "bucket")
     y = b.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    if n_corpus is not None and n_corpus * tables <= 2_000_000:
+        # the bucketed relation is a few MB at this size: broadcasting one
+        # self-join side turns the (tbl, bucket) equi-join map-side and
+        # drops both its exchanges (guide §3.1); the shuffle join stands
+        # at corpus scale
+        y = F.broadcast(y)
     return (
         x.join(y, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -535,6 +555,7 @@ def lsh_near_dup_pairs(
     ``tables`` with bits to hold recall (see :func:`adaptive_bits`).
     :func:`pairwise_near_dups` stays the exact (blocked) baseline.
     Returns (id_a, id_b, cosine)."""
+    n_corpus = embeddings.count()
     cand = lsh_candidate_pairs(
         embeddings, bits, tables, dim, id_col, vec_col, target_bucket
     )
@@ -544,6 +565,10 @@ def lsh_near_dup_pairs(
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    if n_corpus <= 1_000_000:
+        # vector relation fits a broadcast: the (much larger) candidate
+        # relation is never shuffled for the verify (guide §3.1)
+        va, vb = F.broadcast(va), F.broadcast(vb)
     j = with_cosine(cand.join(va, "id_a").join(vb, "id_b"), "vec_a", "vec_b")
     return j.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 

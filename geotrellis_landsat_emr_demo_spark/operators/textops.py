@@ -183,10 +183,19 @@ def minhash_portable_signatures(
     import numpy as np
 
     par = docs.sparkSession.sparkContext.defaultParallelism
+    k = shingle_k
+    # words (not shingles) cross the boundary: the shingle strings are
+    # assembled in Python with the identical windowing/fallback rule as
+    # _shingles_col — ' '.join of word slices is byte-identical to
+    # concat_ws — which avoids shipping ~k x the text AND evaluating the
+    # transform/concat_ws higher-order expression (CodegenFallback) per
+    # shingle
     sh = (
         docs.repartition(par)
-        .select("doc_id", _shingles_col(F.col("text"), shingle_k).alias("sh"))
-        .filter(F.col("sh").isNotNull())
+        .select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+        )
+        .filter(F.col("ws").isNotNull())
     )
     schema = "doc_id long" + "".join(f", h{i} string" for i in range(n_hashes))
     prefixes = [f"s{i}:".encode() for i in range(n_hashes)]
@@ -197,8 +206,17 @@ def minhash_portable_signatures(
             n_docs = len(pdf)
             if n_docs == 0:
                 continue
-            lens = pdf["sh"].map(len).to_numpy(dtype="i8")
-            flat = np.concatenate([np.asarray(s, dtype=object) for s in pdf["sh"]])
+            shingles = []
+            lens = np.empty(n_docs, dtype="i8")
+            for row_i, words in enumerate(pdf["ws"]):
+                words = list(words)
+                m = max(len(words) - (k - 1), 1)
+                # windows may shorten at the tail exactly like slice()
+                shingles.extend(
+                    " ".join(words[i : i + k]) for i in range(m)
+                )
+                lens[row_i] = m
+            flat = np.asarray(shingles, dtype=object)
             codes, uniq = pd.factorize(flat)
             ub = [s.encode("utf-8") for s in uniq]
             starts = np.zeros(n_docs, dtype="i8")
@@ -262,8 +280,13 @@ def minhash_portable_pairs(
     sigs = minhash_portable_signatures(docs, n_hashes, shingle_k).localCheckpoint(
         eager=True
     )
+    n_docs = sigs.count()  # cheap agg over the materialized checkpoint
     banded = _minhash_banded(sigs, bands, rows)
     x, y = banded.alias("x"), banded.alias("y")
+    if n_docs * bands <= 2_000_000:
+        # broadcast one self-join side: the banded relation is a few MB
+        # at this size, so the bucket equi-join stays map-side (guide §3.1)
+        y = F.broadcast(y)
     cand = (
         x.join(
             y,
@@ -276,24 +299,28 @@ def minhash_portable_pairs(
     )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(n_hashes)],
     )
     sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(n_hashes)],
+    )
+    if n_docs <= 500_000:
+        # signature relation fits a broadcast: the candidate relation is
+        # never shuffled for the estimate join
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    # r8: the match count as a plain sum of column equalities — the former
+    # aggregate(zip_with(...)) is a CodegenFallback higher-order function,
+    # interpreted per candidate row; the integer sum / n_hashes double
+    # division is value-identical
+    matches = sum(
+        ((F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(n_hashes)),
+        F.lit(0),
     )
     est = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "est_jaccard",
-            F.aggregate(
-                F.zip_with("sig_a", "sig_b", lambda p, q: (p == q).cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(float(n_hashes)),
-        )
+        .withColumn("est_jaccard", matches / F.lit(float(n_hashes)))
     )
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", "est_jaccard"
@@ -677,6 +704,11 @@ def simhash_near_pairs(
         ).alias("tbl", "blk"),
     )
     x, y = banded.alias("x"), banded.alias("y")
+    if sh.count() * n_blocks <= 2_000_000:
+        # the banded relation is a few MB at this size: broadcasting one
+        # self-join side keeps the block equi-join map-side (guide §3.1);
+        # the count is a cheap agg over the materialized checkpoint
+        y = F.broadcast(y)
     cand = (
         x.join(
             y,
