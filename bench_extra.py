@@ -77,6 +77,10 @@ def main():
                 f.write(plan)
         drop_caches(spark)
 
+    if args.reps <= 0:
+        spark.stop()
+        return
+
     timings, cold, samples = {}, {}, {}
     for name in names:
         reps = []
