@@ -664,6 +664,12 @@ def _shared_jaccard_pairs(spark, sf_dir):
             sc.setCheckpointDir(
                 tempfile.mkdtemp(prefix="spark-graft-ckpt-")
             )
+        # balance the materialized relation across cores before the
+        # checkpoint: the dense-bucket pair builder emits one partition
+        # per bucket group (uneven), and every downstream consumer
+        # (3 queries x 3 bench reps) re-reads this file — a one-time
+        # explicit repartition keeps those scans even and wide
+        pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
         got = pairs.checkpoint(eager=True)
         _PAIRS_MEMO[key] = got
     return got

@@ -830,6 +830,138 @@ def _prefix_index(base, t_pref: float, hot: list | None = None):
     )
 
 
+_RTAB_CACHE: dict = {}
+
+
+def _half_up_table(round_to: int, max_p: int, max_q: int):
+    """round(p/q, round_to) for all 0 <= p <= max_p, 1 <= q <= max_q,
+    replicating Spark's Round exactly: IEEE double division, then HALF_UP
+    on the double's EXACT decimal expansion (java BigDecimal(double)
+    .setScale == Python Decimal(float).quantize).  Needed because numpy's
+    half-even round diverges on dyadic rationals (13/16 = 0.8125 rounds
+    to 0.813 under HALF_UP, 0.812 under half-even)."""
+    import numpy as np
+
+    key = (round_to, max_p, max_q)
+    tab = _RTAB_CACHE.get(key)
+    if tab is None:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        exp = Decimal(1).scaleb(-round_to)
+        tab = np.empty((max_p + 1, max_q + 1), dtype="f8")
+        tab[:, 0] = np.nan
+        for q in range(1, max_q + 1):
+            for p in range(max_p + 1):
+                tab[p, q] = float(
+                    Decimal(p / q).quantize(exp, rounding=ROUND_HALF_UP)
+                )
+        _RTAB_CACHE[key] = tab
+    return tab
+
+
+_POP16 = None
+
+
+def _pop16():
+    import numpy as np
+
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+        )
+    return _POP16
+
+
+def _dense_jaccard_pairs(
+    base: DataFrame, vocab: list, min_jaccard: float, round_to: int | None,
+    max_n: int,
+) -> DataFrame:
+    """Exact all-pairs jaccard per bucket over BITSET token masks — the
+    fast path for tiny-vocabulary corpora (r8).
+
+    The driver's documents corpus draws every doc from a 31-token total
+    vocabulary, the pathological case for prefix filtering: candidate
+    fan-out was ~4.7x the (genuinely huge) output and the candidate
+    distinct alone shuffled 121M rows at sf1.0.  When the GLOBAL vocab
+    fits a few machine words (gate: <= 1024 tokens, <= 256 tokens/doc,
+    bounded bucket size), each doc's token set is a W-word bitmask and
+    every pair's intersection is a vectorized AND+popcount — no inverted
+    index, no candidate shuffle, no verify join.  Exactness: intersection
+    popcounts are integers; jaccard = p/q in IEEE double (the same
+    division Catalyst performs); HALF_UP rounding via the (p, q) lookup
+    table (:func:`_half_up_table`), so emitted values AND threshold
+    survivors are bit-identical to the ppjoin path (tests pin both paths
+    equal, including a planted 13/16 dyadic midpoint)."""
+    import numpy as np
+
+    vocab_arr = np.sort(np.asarray(vocab, dtype="i8"))
+    W = (len(vocab_arr) + 63) // 64
+    thr = float(min_jaccard)
+    it = base.schema["doc_id"].dataType.simpleString()
+    out_schema = f"doc_a {it}, doc_b {it}, jaccard double"
+    pop = _pop16()
+    rtab = _half_up_table(round_to, max_n, 2 * max_n) if round_to is not None else None
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+            {"doc_a": "i8", "doc_b": "i8", "jaccard": "f8"}
+        )
+        if n < 2:
+            return empty
+        ids = pdf["doc_id"].to_numpy(dtype="i8")
+        sizes = pdf["n"].to_numpy(dtype="i8")
+        masks = np.zeros((n, W), dtype=np.uint64)
+        one = np.uint64(1)
+        for i, hs in enumerate(pdf["hs"]):
+            idx = np.searchsorted(vocab_arr, np.asarray(hs, dtype="i8"))
+            np.bitwise_or.at(
+                masks[i], idx >> 6, one << (idx & 63).astype(np.uint64)
+            )
+        out_a, out_b, out_j = [], [], []
+        chunk = max(1, (2 << 20) // max(n, 1))
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            inter_and = masks[lo:hi, None, :] & masks[None, :, :]
+            u16 = inter_and.view(np.uint16).reshape(hi - lo, n, W * 4)
+            p = pop[u16].sum(axis=2, dtype=np.int64)
+            q = sizes[lo:hi, None] + sizes[None, :] - p
+            if rtab is not None:
+                jac = rtab[p, q]
+            else:
+                jac = p.astype("f8") / q.astype("f8")
+            rows, cols = np.nonzero(jac >= thr)
+            keep = (rows + lo) < cols
+            rows, cols = rows[keep], cols[keep]
+            out_a.append(ids[rows + lo])
+            out_b.append(ids[cols])
+            out_j.append(jac[rows, cols])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "jaccard": np.concatenate(out_j),
+            }
+        )
+
+    # explicit REPARTITION_BY_NUM on the group key: the input shuffle is
+    # tiny (the doc relation), so AQE would coalesce it to 1-2 tasks —
+    # running every bucket serially AND leaving the (much larger) pair
+    # output in 1-2 partitions for every downstream consumer.  An
+    # explicitly-numbered repartition is exempt from AQE coalescing and
+    # is reused by the groupBy (guide §2.4).
+    par = base.sparkSession.sparkContext.defaultParallelism
+    return (
+        base.repartition(par, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(_bucket_pairs, schema=out_schema)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     bucket_col: str = "source",
@@ -839,6 +971,7 @@ def ngram_jaccard_pairs(
     round_to: int | None = None,
     hot_cutoff: int = 256,
     max_hot: int = 10_000,
+    dense_path: bool | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard via a PREFIX-FILTERED inverted-index join.
 
@@ -872,6 +1005,37 @@ def ngram_jaccard_pairs(
     base = _token_base(docs, bucket_col, lowercase, split_pattern).localCheckpoint(
         eager=True
     )
+    # r8 adaptive fast path (see _dense_jaccard_pairs): corpora whose
+    # GLOBAL vocabulary fits a few machine words defeat prefix filtering
+    # (every prefix token is shared corpus-wide), but admit exact bitset
+    # all-pairs per bucket.  The gates are measured relation properties
+    # (max tokens/doc <= 256, <= 1024 distinct tokens, <= 200k docs per
+    # bucket), each a cheap aggregation over the materialized checkpoint;
+    # any real web-scale corpus fails the vocab probe immediately and
+    # keeps the ppjoin index.  dense_path=False forces ppjoin (tests);
+    # True skips only the max_n pre-gate.
+    if dense_path is not False:
+        mx = base.agg(F.max("n")).collect()[0][0] or 0
+        if dense_path or (0 < mx <= 256):
+            vocab = [
+                r.h
+                for r in base.select(F.explode("hs").alias("h"))
+                .distinct()
+                .limit(1025)
+                .collect()
+            ]
+            if 0 < len(vocab) <= 1024:
+                bmax = (
+                    base.groupBy("bucket")
+                    .count()
+                    .agg(F.max("count"))
+                    .collect()[0][0]
+                    or 0
+                )
+                if bmax <= 200_000:
+                    return _dense_jaccard_pairs(
+                        base, vocab, min_jaccard, round_to, int(mx)
+                    )
     inv = _prefix_index(base, t_pref, hot=_hot_hashes(base, hot_cutoff, max_hot))
     x, y = inv.alias("x"), inv.alias("y")
     # ppjoin positional filter: overlap(A, B) >= ceil(t/(1+t)*(|A|+|B|))

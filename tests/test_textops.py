@@ -980,3 +980,54 @@ def test_minhash_portable_signatures_match_expr(spark, docs):
         want = {tuple(r) for r in textops.minhash_signatures_expr(d, 8).collect()}
         got = {tuple(r) for r in textops.minhash_portable_signatures(d, 8).collect()}
         assert got == want and len(got) > 0
+
+
+def test_ngram_jaccard_dense_path_matches_ppjoin(spark):
+    """r8: the dense-bitset fast path must equal the ppjoin inverted-index
+    path row-for-row (ids and jaccard doubles bitwise) — rounded and
+    unrounded variants."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for kwargs in (
+        dict(min_jaccard=0.7, round_to=3),
+        dict(min_jaccard=0.5, round_to=None),
+    ):
+        dense = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in textops.ngram_jaccard_pairs(
+                d, "source", dense_path=True, **kwargs
+            ).collect()
+        }
+        pp = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in textops.ngram_jaccard_pairs(
+                d, "source", dense_path=False, **kwargs
+            ).collect()
+        }
+        assert dense.keys() == pp.keys() and len(dense) > 0
+        for k in pp:
+            assert dense[k] == pp[k], (k, dense[k].hex(), pp[k].hex())
+
+
+def test_ngram_jaccard_dense_half_up_midpoint(spark):
+    """13/16 = 0.8125 is exactly representable: Spark's HALF_UP rounds it
+    to 0.813 where numpy's half-even gives 0.812 — the dense path must
+    take the HALF_UP table."""
+    a_toks = [f"t{i}" for i in range(16)]
+    b_toks = a_toks[:13]
+    pdf = pd.DataFrame(
+        [
+            dict(doc_id=1, text=" ".join(a_toks), lang="en", source="s",
+                 n_chars=0),
+            dict(doc_id=2, text=" ".join(b_toks), lang="en", source="s",
+                 n_chars=0),
+        ]
+    )
+    d = spark.createDataFrame(pdf)
+    for force in (True, False):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in textops.ngram_jaccard_pairs(
+                d, "source", min_jaccard=0.5, round_to=3, dense_path=force
+            ).collect()
+        }
+        assert got == {(1, 2): 0.813}, (force, got)
