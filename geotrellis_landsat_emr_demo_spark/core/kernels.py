@@ -488,7 +488,15 @@ def bilinear_sample_u16_axis(
     (nb, H, W) float with NaN NoData — same semantics as the joint
     sampler on ``meshgrid(fx, fy)``; arithmetic per ``mode`` (falls back
     to ``_resample_mode``'s env default)."""
-    if (mode or _resample_mode()) == "f8":
+    resolved = mode or _resample_mode()
+    # strict: a typo'd SPARK_GRAFT_RESAMPLE (e.g. 'F8', 'f64') must not
+    # silently pick the drifted fast path when the operator asked for the
+    # bitwise-legacy sampler (ADVICE r7)
+    if resolved not in ("sep-f4", "f8"):
+        raise ValueError(
+            f"unknown resample mode {resolved!r} (expected 'sep-f4' or 'f8')"
+        )
+    if resolved == "f8":
         FX, FY = np.meshgrid(fx, fy)
         return bilinear_sample_u16(src_u16, FX, FY, nodata_free=nodata_free)
     return _bilinear_sep_f4(src_u16, fx, fy, nodata_free)

@@ -162,8 +162,19 @@ def _fetch_payloads(paths: list, ids: list) -> dict:
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    if paths and str(paths[0]).startswith(("http://", "https://")):
-        return _fetch_payloads_http(paths, ids)
+    # dispatch per scheme, not on paths[0]: a mixed list of http URLs and
+    # local files would otherwise route every entry down one scheme and
+    # lose the rest (ADVICE r7)
+    http_paths = [p for p in paths if str(p).startswith(("http://", "https://"))]
+    local_paths = [p for p in paths if p not in http_paths]
+    if http_paths and local_paths:
+        out = _fetch_payloads_http(http_paths, ids)
+        missing = [i for i in ids if i not in out]
+        if missing:
+            out.update(_fetch_payloads(local_paths, missing))
+        return out
+    if http_paths:
+        return _fetch_payloads_http(http_paths, ids)
 
     # Every executor python worker runs this concurrently: pyarrow's
     # default pools are sized to ALL machine cores per process, so 32

@@ -97,8 +97,10 @@ class IcebergCatalog:
     # ------------------------------------------------------------ naming
 
     def identifier(self, table: str) -> str:
+        # strict [A-Za-z0-9_]: every method emits UNQUOTED identifiers,
+        # where '-' is invalid Spark SQL (ADVICE r7)
         for part in (self.catalog_name, self.namespace, table):
-            if not part.replace("_", "").replace("-", "").isalnum():
+            if not part or not part.replace("_", "").isalnum() or "-" in part:
                 raise ValueError(f"bad identifier part: {part!r}")
         return f"{self.catalog_name}.{self.namespace}.{table}"
 
@@ -192,6 +194,7 @@ class IcebergCatalog:
         ]
 
     def rollback(self, table: str, snapshot: int) -> int:
+        self.identifier(table)  # validate BEFORE interpolating (ADVICE r7)
         self._sql(
             f"CALL {self.catalog_name}.system.rollback_to_snapshot"
             f"('{self.namespace}.{table}', {int(snapshot)})"
@@ -206,6 +209,8 @@ class IcebergCatalog:
         implements over plain parquet."""
         import time as _time
 
+        self.identifier(table)  # validate BEFORE interpolating (ADVICE r7)
+        n_before = len(self.history(table))
         cutoff_ms = int((_time.time() - older_than_s) * 1000)
         ts = _timestamp_literal(cutoff_ms)
         exp = self._sql(
@@ -217,8 +222,12 @@ class IcebergCatalog:
             f"CALL {self.catalog_name}.system.remove_orphan_files("
             f"table => '{self.namespace}.{table}', older_than => {ts})"
         ).collect()
+        # the expire procedure returns ONE summary row of deleted-file
+        # counts, so len(exp) was always 1 regardless of snapshots expired
+        # (ADVICE r7) — count via snapshot history length instead
+        del exp
         return dict(
-            snapshots_removed=len(exp),
+            snapshots_removed=n_before - len(self.history(table)),
             files_removed=len(orph),
         )
 

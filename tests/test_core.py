@@ -409,3 +409,23 @@ def test_haversine_known_distance():
 def test_day_bucket():
     assert int(ci.day_bucket(86_400_000)) == 1
     assert int(ci.day_bucket(86_399_999)) == 0
+
+
+def test_resample_mode_typo_raises():
+    """ADVICE r7: a typo'd SPARK_GRAFT_RESAMPLE must raise, not silently
+    select the drifted fast path."""
+    import numpy as np
+    import pytest
+
+    from geotrellis_landsat_emr_demo_spark.core import kernels
+
+    src = np.full((1, 4, 4), 100, dtype=np.uint16)
+    fx = np.array([1.0, 2.0])
+    fy = np.array([1.0, 2.0])
+    for bad in ("F8", "f64", "fast"):
+        with pytest.raises(ValueError, match="resample mode"):
+            kernels.bilinear_sample_u16_axis(src, fx, fy, mode=bad)
+    # both valid modes still work
+    a = kernels.bilinear_sample_u16_axis(src, fx, fy, mode="f8")
+    b = kernels.bilinear_sample_u16_axis(src, fx, fy, mode="sep-f4")
+    assert a.shape == b.shape == (1, 2, 2)
