@@ -502,23 +502,24 @@ def incremental_minhash_pairs(
     # sides; checkpoint so the corpus-sig scan behind it runs once, not
     # once per side
     all_sigs = new_sigs.unionByName(matched).distinct().localCheckpoint(eager=True)
-    sig_arr = F.array(*[f"h{i}" for i in range(n_hashes)])
-    sa = all_sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
-    sb = all_sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
+    sa = all_sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(n_hashes)],
+    )
+    sb = all_sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(n_hashes)],
+    )
+    # codegen-able equality sum, not the interpreted aggregate(zip_with)
+    # HOF — value-identical (see minhash_portable_pairs)
+    matches = sum(
+        ((F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(n_hashes)),
+        F.lit(0),
+    )
     est = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "est_jaccard",
-            F.aggregate(
-                F.zip_with(
-                    "sig_a", "sig_b", lambda a, b: (a == b).cast("int")
-                ),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(float(n_hashes)),
-        )
+        .withColumn("est_jaccard", matches / F.lit(float(n_hashes)))
     )
     out = est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", "est_jaccard", "is_new_pair"
@@ -1135,7 +1136,10 @@ def contamination_pairs(
 
     par = train.sparkSession.sparkContext.defaultParallelism
     tr = side(train.repartition(par), "train_doc")
-    te = side(test, "test_doc")
+    # r8: spread the TEST side too — the interpreted shingle+hash chain
+    # ran in ONE task on the single-row-group scan (measured 12.8 s of
+    # the query's 14.7 at sf1.0)
+    te = side(test.repartition(par), "test_doc")
     return (
         te.join(tr, "h")
         .groupBy("test_doc", "train_doc")
@@ -1396,11 +1400,44 @@ def lang_ngram_profiles(
     same profiles are learnable by any engine — the oracle-SQL twin
     re-derives them in DuckDB.  One aggregation over the training grams;
     profiles are tiny (langs x top_k) and broadcast at classify time."""
-    grams = docs.select(
+    # r8: gram COUNTS come from a vectorized Arrow pass — the
+    # transform/substr gram constructor is a CodegenFallback HOF
+    # (interpreted per gram: ~20M evaluations at sf1.0), and the raw
+    # 20M-row explode fed the (lang, gram) aggregation; here the lowered
+    # prefix is cut JVM-side (lower/substring semantics unchanged),
+    # Python slices the overlapping windows and emits PARTIAL counts per
+    # batch, so only ~|langs x grams| rows reach the final sum.  Counts
+    # are exact integers — profiles identical.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    lowered = docs.repartition(par).select(
         F.col(lang_col).alias("lang"),
-        F.explode(_char_grams(F.col(text_col), gram_n, max_chars)).alias("gram"),
+        F.lower(F.substring(F.col(text_col), 1, max_chars)).alias("tx"),
     )
-    cnt = grams.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
+
+    def _count_batches(it):
+        from collections import Counter
+
+        for pdf in it:
+            c: Counter = Counter()
+            for lang, tx in zip(pdf["lang"], pdf["tx"]):
+                if tx is None:
+                    continue
+                m = max(len(tx) - (gram_n - 1), 1)
+                c.update((lang, tx[i : i + gram_n]) for i in range(m))
+            if c:
+                yield pd.DataFrame(
+                    {
+                        "lang": [k[0] for k in c],
+                        "gram": [k[1] for k in c],
+                        "pc": list(c.values()),
+                    }
+                )
+
+    cnt = (
+        lowered.mapInPandas(_count_batches, "lang string, gram string, pc long")
+        .groupBy("lang", "gram")
+        .agg(F.sum("pc").alias("cnt"))
+    )
     tot = cnt.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
     profiles = (
@@ -1447,26 +1484,70 @@ def lang_id_ngram(
         profiles, floors = lang_ngram_profiles(
             docs, gram_n=gram_n, top_k=top_k, max_chars=max_chars
         )
+    # r8: the model is TINY (|langs| x top_k logps + floors) — collect it
+    # once and score inside one vectorized Arrow pass instead of the
+    # grams x langs crossJoin (100M rows at sf1.0) + left join + giant
+    # aggregation (57 s -> ~2 s).  Scoring semantics unchanged: per
+    # (doc, lang), sum of logp/floor over the doc's grams, HALF_UP-rounded
+    # to ``round_to`` (python Decimal == Spark Round on doubles), argmax
+    # with the (score desc, lang asc) tie-break on the ROUNDED scores —
+    # which is exactly why the rounding exists: it absorbs float-sum
+    # reordering between engines (and between this pass and the old
+    # aggregation's shuffle order).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    prof_rows = profiles.collect()
+    floor_rows = floors.collect()
+    langs = sorted(r["lang"] for r in floor_rows)
+    lidx = {l: i for i, l in enumerate(langs)}
+    floor_vec = np.zeros(len(langs))
+    for r in floor_rows:
+        floor_vec[lidx[r["lang"]]] = r["floor"]
+    table: dict = {}
+    for r in prof_rows:
+        vec = table.get(r["gram"])
+        if vec is None:
+            vec = floor_vec.copy()
+            table[r["gram"]] = vec
+        vec[lidx[r["lang"]]] = r["logp"]
+    exp = Decimal(1).scaleb(-round_to)
+    langs_arr = np.asarray(langs, dtype=object)
+
     par = docs.sparkSession.sparkContext.defaultParallelism
-    grams = docs.repartition(par).select(
+    lowered = docs.repartition(par).select(
         "doc_id",
         F.col("lang").alias("lang_true"),
-        F.explode(_char_grams(F.col("text"), gram_n, max_chars)).alias("gram"),
+        F.lower(F.substring(F.col("text"), 1, max_chars)).alias("tx"),
     )
-    langs = F.broadcast(floors)
-    scored = (
-        grams.crossJoin(langs)
-        .join(F.broadcast(profiles), ["lang", "gram"], "left")
-        .groupBy("doc_id", "lang_true", "lang")
-        .agg(F.round(F.sum(F.coalesce("logp", "floor")), round_to).alias("score"))
-    )
-    # argmax with deterministic tie-break: highest score, then smallest
-    # lang — min_by over the lexicographic struct (-score, lang)
-    best = scored.groupBy("doc_id", F.col("lang_true")).agg(
-        F.min_by("lang", F.struct((-F.col("score")).alias("ns"), F.col("lang"))).alias(
-            "predicted"
-        )
-    )
-    return best.select(
-        "doc_id", F.col("lang_true").alias("lang"), "predicted"
+
+    def _score_batches(it):
+        for pdf in it:
+            preds = []
+            for tx in pdf["tx"]:
+                if tx is None:
+                    preds.append(None)
+                    continue
+                m = max(len(tx) - (gram_n - 1), 1)
+                acc = np.zeros(len(langs))
+                for i in range(m):
+                    acc = acc + table.get(tx[i : i + gram_n], floor_vec)
+                rounded = [
+                    float(Decimal(s).quantize(exp, rounding=ROUND_HALF_UP))
+                    for s in acc.tolist()
+                ]
+                # first max over langs sorted asc == (score desc, lang asc)
+                preds.append(langs_arr[int(np.argmax(rounded))])
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang_true"],
+                    "predicted": preds,
+                }
+            )
+            yield out[out["predicted"].notna()]
+
+    return lowered.mapInPandas(
+        _score_batches, "doc_id long, lang string, predicted string"
     )

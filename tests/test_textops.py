@@ -1031,3 +1031,62 @@ def test_ngram_jaccard_dense_half_up_midpoint(spark):
             ).collect()
         }
         assert got == {(1, 2): 0.813}, (force, got)
+
+
+def _lang_id_ngram_ref(docs, gram_n=3, top_k=300, max_chars=400, round_to=4):
+    """Pre-r8 crossJoin+aggregate formulation of lang_id_ngram, verbatim
+    (including the pre-r8 explode-based profile training)."""
+    from pyspark.sql import Window
+
+    grams_t = docs.select(
+        F.col("lang").alias("lang"),
+        F.explode(textops._char_grams(F.col("text"), gram_n, max_chars)).alias("gram"),
+    )
+    cnt = grams_t.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
+    tot = cnt.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
+    profiles = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .join(tot, "lang")
+        .select(
+            "lang", "gram",
+            F.log((F.col("cnt") + 1) / (F.col("tot") + top_k + 1)).alias("logp"),
+        )
+    )
+    floors = tot.select("lang", F.log(1.0 / (F.col("tot") + top_k + 1)).alias("floor"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams = docs.repartition(par).select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.explode(textops._char_grams(F.col("text"), gram_n, max_chars)).alias("gram"),
+    )
+    scored = (
+        grams.crossJoin(F.broadcast(floors))
+        .join(F.broadcast(profiles), ["lang", "gram"], "left")
+        .groupBy("doc_id", "lang_true", "lang")
+        .agg(F.round(F.sum(F.coalesce("logp", "floor")), round_to).alias("score"))
+    )
+    best = scored.groupBy("doc_id", F.col("lang_true")).agg(
+        F.min_by("lang", F.struct((-F.col("score")).alias("ns"), F.col("lang"))).alias(
+            "predicted"
+        )
+    )
+    return best.select("doc_id", F.col("lang_true").alias("lang"), "predicted")
+
+
+def test_lang_id_ngram_matches_crossjoin_formulation(spark):
+    """r8: the collected-model scoring pass must reproduce the
+    crossJoin+aggregate formulation exactly on both small corpora (the
+    round_to grid absorbs float-sum reordering by design)."""
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        got = {
+            (r.doc_id): (r.lang, r.predicted)
+            for r in textops.lang_id_ngram(d).collect()
+        }
+        want = {
+            (r.doc_id): (r.lang, r.predicted)
+            for r in _lang_id_ngram_ref(d).collect()
+        }
+        assert got == want and len(got) > 0
