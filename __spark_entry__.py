@@ -440,7 +440,9 @@ def sql_point_lookup():
 def q_zooms_rollup(spark, sf_dir):
     """A7/S6: zooms-per-layer rollup analog: per event_type, distinct days
     + max day (MetadataReader.scala:18-25)."""
-    ev = _t(spark, sf_dir, "events")
+    # spread A/B-won here (1.26 vs 1.91 s median at sf1.0): the double
+    # date_format + the countDistinct expand are heavy enough per row
+    ev = _spread(_t(spark, sf_dir, "events"))
     return ev.groupBy("event_type").agg(
         F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_days"),
         F.max(F.date_format("ts", "yyyy-MM-dd")).alias("max_day"),
@@ -1050,7 +1052,9 @@ def sql_train_test_split():
 def q_token_stats(spark, sf_dir):
     """Token counting: whitespace + regex-word tokens (engine:
     operators.textops.token_stats)."""
-    d = _t(spark, sf_dir, "documents")
+    # spread A/B-won (0.37 vs 0.91 s median at sf1.0): two regex passes
+    # over the full text per row
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
@@ -1350,7 +1354,9 @@ def q_quality_filter(spark, sf_dir):
     standard gates (>= 50 tokens, distinct ratio >= 0.3, stopword ratio
     <= 0.5) — the keep/drop accounting of a filtering pipeline stage
     (engine: thresholds over operators.textops.quality_score columns)."""
-    d = _t(spark, sf_dir, "documents")
+    # spread: same token-split/array work as quality_score, which won its
+    # interleaved A/B
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), " ")
     n = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n
@@ -1387,7 +1393,9 @@ def sql_quality_filter():
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of normalized text (engine:
     operators.textops.doc_fingerprint)."""
-    d = _t(spark, sf_dir, "documents")
+    # spread: regex+md5 over full text per row (the pii_scrub pattern,
+    # which won its interleaved A/B)
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
@@ -1406,7 +1414,9 @@ def q_lang_id(spark, sf_dir):
     deterministic letter-frequency ranking, pure column algebra."""
     from geotrellis_landsat_emr_demo_spark.operators.textops import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    # spread A/B-won (0.44 vs 1.50 s median at sf1.0): five
+    # regexp_replace passes over the full text per row
+    d = _spread(_t(spark, sf_dir, "documents"))
     return lang_id(d)
 
 
