@@ -127,3 +127,57 @@ def test_pairwise_near_dups_zero_vector_yields_nan_pairs(spark):
     # pairs involving the zero vectors must be present (NaN cosine), and
     # the 1s-vs-0.5s pair (cosine exactly 1.0) survives the threshold
     assert (0, 1) in gk and (0, 3) in gk and (1, 2) in gk
+
+
+def _topk_map(df):
+    return {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in df.collect()
+    }
+
+
+def _assert_topk_equal(got, want):
+    assert set(got) == set(want)
+    for k, (wn, wc) in want.items():
+        gn, gc = got[k]
+        assert gn == wn, (k, gn, wn)
+        if wc is None or (isinstance(wc, float) and math.isnan(wc)):
+            assert gc is None or math.isnan(gc), (k, gc, wc)
+        else:
+            assert gc == wc, (k, gc.hex(), wc.hex())  # bitwise double equality
+
+
+def test_cosine_topk_collected_matches_lazy_on_corpus(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 7)
+    got = _topk_map(sim.cosine_topk(e, q, k=5))          # collected fast path
+    want = _topk_map(sim.cosine_topk(e, q, k=5, max_collect_queries=0))
+    _assert_topk_equal(got, want)
+
+
+def test_cosine_topk_collected_matches_lazy_adversarial(spark):
+    # zero vectors (NaN/null cosine ordering), exact duplicate vectors
+    # (cosine ties broken by neighbor id), float32 inputs, self-exclusion
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((40, 8)).astype("f4")
+    V[5] = 0.0
+    V[17] = 0.0
+    V[9] = V[3]           # duplicate -> tied cosines vs every query
+    V[21] = V[3]
+    pdf = pd.DataFrame({"vec_id": np.arange(40, dtype="i8"), "embedding": [v for v in V]})
+    e = spark.createDataFrame(pdf)
+    q = e.filter(F.col("vec_id").isin([0, 3, 5]))  # incl. a zero-vector query
+    for excl in (True, False):
+        got = _topk_map(sim.cosine_topk(e, q, k=6, exclude_self=excl))
+        want = _topk_map(
+            sim.cosine_topk(e, q, k=6, exclude_self=excl, max_collect_queries=0)
+        )
+        _assert_topk_equal(got, want)
+
+
+def test_cosine_topk_cap_falls_back_to_lazy(spark):
+    # a query side above the cap must keep the fully-lazy formulation
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 9)
+    got = _topk_map(sim.cosine_topk(e, q, k=3, max_collect_queries=4))
+    want = _topk_map(sim.cosine_topk(e, q, k=3, max_collect_queries=0))
+    _assert_topk_equal(got, want)
