@@ -16,11 +16,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 CHECKS = {
     "scan_filter_project": [r"PushedFilters: \[IsNotNull\(o_orderdate\)", "ReadSchema"],
-    # PII scrub: a narrow codegen'd map over the scan — no shuffle, no
-    # Python workers (regexp_count/regexp_replace are JVM expressions)
-    # codegen'd narrow map: formatted plans mark codegen stages with a
-    # leading asterisk, not the literal WholeStageCodegen node name
-    "pii_scrub": ["!InPandas|!BatchEvalPython", "!Exchange", r"\* Project"],
+    # PII scrub: JVM regexp expressions only (no Python workers); the
+    # r8 A/B-won scan spread adds exactly ONE round-robin Exchange so the
+    # 6 regex passes run on all cores instead of the single-row-group
+    # scan's one task (OPTIMIZATION_r08.md §8) — a no-op at production
+    # partition counts
+    "pii_scrub": [
+        "!InPandas|!BatchEvalPython",
+        "count<=1:Exchange \\(\\d",
+        "count<=2:Scan parquet",  # ONE scan: tree + detail line each list it
+    ],
     # stratified sampling: a pushed-down-able narrow filter, nothing else
     "stratified_sample": ["!InPandas|!BatchEvalPython", "!Exchange"],
     # paragraph dedup: one Window keyed by paragraph (first occurrence) +
@@ -37,14 +42,30 @@ CHECKS = {
     "zonal_group_mean": ["BroadcastHashJoin", "partial_avg|partial_"],
     # two HashAggregates around one Exchange = partial+final (map-side combine)
     "cell_assign_agg": [r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"],
-    "knn_points": ["BroadcastNestedLoopJoin|BroadcastHashJoin", "RunningWindowFunction|Window"],
-    "embedding_knn": ["BroadcastNestedLoopJoin", "Window"],
+    # r8 two-phase top-k: phase 1 per Arrow batch inside MapInPandas
+    # (no Q x N pair relation, no crossJoin), one Exchange for the global
+    # survivor rank (OPTIMIZATION_r08.md §3 / session-2 cosine_topk)
+    "knn_points": [
+        "MapInPandas",
+        "Window",
+        "!BroadcastNestedLoopJoin",
+        "count<=1:Exchange \\(\\d",
+    ],
+    "embedding_knn": [
+        "MapInPandas",
+        "Window",
+        "!BroadcastNestedLoopJoin",
+        "count<=1:Exchange \\(\\d",
+    ],
     "merge_first_wins": ["Window", "HashAggregate"],
     "topk_orders": ["TakeOrderedAndProject"],
-    # inverted-index token join: an EQUI join (hash/sort-merge on the
-    # token key), never a nested-loop/cartesian all-pairs plan
+    # exact-jaccard pairs: either the prefix-filtered inverted-index
+    # EQUI join (web-scale corpora) or, when the measured-vocabulary gate
+    # fires (OPTIMIZATION_r08.md §9 — this corpus), the dense-bitset
+    # per-bucket pass (FlatMapGroupsInPandas popcounts, no candidate
+    # join at all); NEVER a nested-loop/cartesian all-pairs plan
     "ngram_jaccard": [
-        "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+        "FlatMapGroupsInPandas|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
         "!CartesianProduct",
         "!BroadcastNestedLoopJoin",
         "ExistingRDD",
@@ -68,25 +89,28 @@ CHECKS = {
         "ExistingRDD",
         "count<=0:Scan parquet",
     ],
-    # IVF: corpus hashed once into lists (checkpointed); only the query
-    # side runs the Arrow cell-assign UDF in-plan
+    # IVF: corpus hashed once into lists (checkpointed — never re-assigned
+    # in-plan); the in-plan Arrow nodes are the query-side cell assign plus
+    # the r8 vectorized exact-cosine re-rank (with_cosine, bit-identical to
+    # the HOF fold it replaced — OPTIMIZATION_r08.md §7)
     "embedding_ivf_topk": [
         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
         "Window",
-        "count<=1:ArrowEvalPython \\(\\d+\\)",
+        "count<=3:ArrowEvalPython \\(\\d+\\)",
     ],
     # near-dups: BOTH self-join sides read the checkpointed bucket
-    # relation — no Arrow bucket UDF in the plan at all
+    # relation — no Arrow bucket UDF in the plan; the single allowed Arrow
+    # node is the r8 vectorized exact-cosine verify (with_cosine)
     "embedding_lsh_near_dups": [
         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
         "!CartesianProduct",
-        "count<=0:ArrowEvalPython \\(\\d+\\)",
+        "count<=1:ArrowEvalPython \\(\\d+\\)",
     ],
-    # ANN top-k: corpus buckets checkpointed; only the (tiny) query side
-    # hashes in-plan
+    # ANN top-k: corpus buckets checkpointed; in-plan Arrow nodes are the
+    # (tiny) query-side hashing plus the r8 vectorized exact-cosine re-rank
     "ann_lsh_topk": [
         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
-        "count<=1:ArrowEvalPython \\(\\d+\\)",
+        "count<=3:ArrowEvalPython \\(\\d+\\)",
     ],
     # decontamination: hashed-shingle EQUI join, JVM-only, never all-pairs
     "contamination_scan": [
@@ -94,12 +118,18 @@ CHECKS = {
         "!CartesianProduct",
         "!InPandas|!BatchEvalPython",
     ],
-    # one unrolled Lloyd iteration: pure Catalyst (no Python), partial+final
-    # aggregation for the exact per-cluster sums, broadcast re-score join
+    # one unrolled Lloyd iteration (r8 shape, OPTIMIZATION_r08.md §4):
+    # the exact decimal partial+final aggregation runs at CONSTRUCTION
+    # (its 8x64 sums collect to the driver, the kmeans_fit precedent), so
+    # the returned plan is just the checkpointed rounded base through the
+    # vectorized scorer — zero Exchange, zero joins, no row-at-a-time
+    # Python (ArrowEvalPython is the vectorized pandas UDF)
     "kmeans_assign": [
-        "!InPandas|!BatchEvalPython",
-        r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
-        "BroadcastNestedLoopJoin|BroadcastHashJoin",
+        "ArrowEvalPython",
+        "!BatchEvalPython",
+        "!Exchange",
+        "ExistingRDD",
+        "count<=0:Scan parquet",
     ],
     # connected components: the returned plan reads the converged edge
     # fixpoint (checkpointed per round) — ExistingRDD, no parquet re-scan
